@@ -1,0 +1,292 @@
+"""The JPEG-style pipeline, TPU-first.
+
+Where the reference runs one Win32 thread per 8×8 MCU through a scalar
+DCT→quant→zigzag→RLE→Huffman chain (``process``,
+``Algorithms/parallel/JPEG/JPEG.c:1103-1252``), this pipeline batches *all*
+MCUs of an image into (N, 8, 8) tiles and runs the whole forward chain as a
+handful of fused XLA ops: one einsum pair on the MXU for the DCT, VPU
+elementwise for quantization, a constant-permutation gather for zigzag, and
+prefix-sum compaction for the RLE — then a host/TPU entropy stage.
+
+Everything up to (and including) RLE is jit-compiled; the Huffman stage has
+two modes (see ``ops/huffman.py``):
+
+* ``per_block`` — parity with the reference: a tree per block per channel,
+  built with the reference's exact heap quirks;
+* ``shared``    — one canonical codebook per channel, serializable, with
+  vectorized pack/unpack; the codebook is replicated (broadcast) across
+  devices in the sharded path, mirroring the reference's shared in-memory
+  tables.
+
+The decode half inverts each stage and is also batched/jittable down to the
+RLE expansion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lz4jpeg_tpu.config import JPEGConfig
+from lz4jpeg_tpu.ops.color import (
+    chroma_subsample_422,
+    rgb_to_ycbcr,
+    split_mcus,
+    ycbcr_to_rgb_mcus,
+)
+from lz4jpeg_tpu.ops.dct import dct2_batched, idct2_batched
+from lz4jpeg_tpu.ops.huffman import (
+    CanonicalCodebook,
+    build_canonical_codebook,
+    pack_symbols,
+    unpack_symbols,
+)
+from lz4jpeg_tpu.ops.quantize import (
+    CHROMINANCE_QUANTIZATION_TABLE,
+    LUMINANCE_QUANTIZATION_TABLE,
+    dequantize,
+    quantize,
+)
+from lz4jpeg_tpu.ops.rle import rle_decode_batched, rle_encode_batched
+from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
+from lz4jpeg_tpu.oracle import jpeg_oracle
+
+CHANNELS = ("lum", "r", "b")
+_CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
+
+
+@dataclasses.dataclass
+class JPEGEncoded:
+    """Encoded image: RLE streams (always) + optional entropy bitstreams."""
+
+    height: int
+    width: int
+    blocks_per_col: int
+    blocks_per_row: int
+    # Padded (N, 2L) RLE [count, value] pairs + (N,) valid lengths.
+    rle: Dict[str, np.ndarray]
+    rle_lengths: Dict[str, np.ndarray]
+    entropy_mode: Optional[str] = None
+    # shared mode: per-channel (codebook, packed bytes, bit count).
+    shared_streams: Optional[Dict[str, Tuple[CanonicalCodebook, bytes, int]]] = None
+    # per_block mode: per-channel list of '0'/'1' strings (parity artifact).
+    per_block_bits: Optional[Dict[str, List[str]]] = None
+
+    @property
+    def num_blocks(self) -> int:
+        return self.blocks_per_col * self.blocks_per_row
+
+    def compressed_bytes(self) -> int:
+        """Size of the entropy-coded representation in bytes."""
+        if self.entropy_mode == "shared":
+            return sum(
+                len(cb.serialize()) + len(packed)
+                for cb, packed, _ in self.shared_streams.values()
+            )
+        if self.entropy_mode == "per_block":
+            return sum(
+                (len(bits) + 7) // 8
+                for ch in self.per_block_bits.values()
+                for bits in ch
+            )
+        raise ValueError("no entropy stage was run")
+
+
+class JPEGPipeline:
+    """Batched encode/decode with jit-compiled transform stages."""
+
+    def __init__(self, config: JPEGConfig = JPEGConfig()):
+        if config.precision == "exact" and not jax.config.jax_enable_x64:
+            # Without x64, float64 silently degrades to f32 and the pipeline
+            # loses coefficient-exact parity — fail loudly instead.  Exact
+            # mode is the CPU verification path (TPUs have no f64 anyway);
+            # use precision="fast" for the TPU compute path.
+            raise RuntimeError(
+                'precision="exact" requires jax_enable_x64 '
+                "(jax.config.update('jax_enable_x64', True)); "
+                'use precision="fast" on TPU'
+            )
+        self.config = config
+        self._forward = jax.jit(self._forward_impl)
+        self._inverse = jax.jit(
+            self._inverse_impl, static_argnames=("bpc", "bpr", "height", "width")
+        )
+
+    # ------------------------------------------------------------------
+    # Jitted transform stages
+    # ------------------------------------------------------------------
+
+    def _forward_impl(self, rgb: jnp.ndarray):
+        """RGB (H, W, 3) uint8 → per-channel quantized zigzag streams and
+        padded RLE pairs.  Mirrors JPEG.c main():1103-1220."""
+        dtype = self.config.dtype
+        y, cr, cb = rgb_to_ycbcr(rgb, dtype)
+        cr_sub = chroma_subsample_422(cr)
+        cb_sub = chroma_subsample_422(cb)
+        lum, r, b = split_mcus(y, cr_sub, cb_sub)
+        out = {}
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
+            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+        }
+        for name, tiles in (("lum", lum), ("r", r), ("b", b)):
+            h, w = _CHANNEL_SHAPES[name]
+            coeff = dct2_batched(tiles, dtype)
+            q = quantize(coeff, tables[name])
+            zz = zigzag(q, w, h)
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
+        return out
+
+    def _inverse_impl(
+        self,
+        rle: Dict[str, jnp.ndarray],
+        rle_lengths: Dict[str, jnp.ndarray],
+        *,
+        bpc: int,
+        bpr: int,
+        height: int,
+        width: int,
+    ) -> jnp.ndarray:
+        """Padded RLE pairs → reconstructed RGB.  Mirrors the inverse chain
+        JPEG.c:1348-1428."""
+        dtype = self.config.dtype
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
+            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+        }
+        rec = {}
+        for name in CHANNELS:
+            h, w = _CHANNEL_SHAPES[name]
+            zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
+            blocks = reverse_zigzag(zz.astype(dtype), w, h)
+            deq = dequantize(blocks.reshape(-1, h, w), tables[name])
+            rec[name] = idct2_batched(deq, dtype)
+        return ycbcr_to_rgb_mcus(
+            rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
+        )
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def encode(self, rgb: np.ndarray, entropy: Optional[bool] = True) -> JPEGEncoded:
+        h, w = rgb.shape[:2]
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        stages = jax.device_get(self._forward(jnp.asarray(rgb)))
+        enc = JPEGEncoded(
+            height=h,
+            width=w,
+            blocks_per_col=bpc,
+            blocks_per_row=bpr,
+            rle={c: np.asarray(stages[c]["rle"]) for c in CHANNELS},
+            rle_lengths={
+                c: np.asarray(stages[c]["rle_lengths"]) for c in CHANNELS
+            },
+        )
+        if entropy:
+            self.entropy_encode(enc)
+        return enc
+
+    def entropy_encode(self, enc: JPEGEncoded) -> JPEGEncoded:
+        mode = self.config.entropy
+        enc.entropy_mode = mode
+        if mode == "shared":
+            enc.shared_streams = {}
+            for c in CHANNELS:
+                symbols = _valid_symbols(enc.rle[c], enc.rle_lengths[c])
+                codebook = build_canonical_codebook(symbols)
+                packed, nbits = pack_symbols(symbols, codebook)
+                enc.shared_streams[c] = (codebook, packed, nbits)
+        else:  # per_block parity mode
+            enc.per_block_bits = {c: [] for c in CHANNELS}
+            for c in CHANNELS:
+                for i in range(enc.num_blocks):
+                    n = int(enc.rle_lengths[c][i])
+                    rle_ints = [int(v) for v in enc.rle[c][i, :n]]
+                    bits, _root, _codes = jpeg_oracle.encode_huffman_oracle(
+                        rle_ints
+                    )
+                    enc.per_block_bits[c].append(bits)
+        return enc
+
+    def entropy_decode(self, enc: JPEGEncoded) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+        """Recover padded RLE pairs from the entropy bitstreams."""
+        if enc.entropy_mode == "shared":
+            rle, lengths = {}, {}
+            for c in CHANNELS:
+                codebook, packed, nbits = enc.shared_streams[c]
+                symbols = unpack_symbols(packed, nbits, codebook)
+                rle[c], lengths[c] = _split_symbols(
+                    symbols, enc.num_blocks, enc.rle[c].shape[1],
+                    _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1],
+                )
+            return rle, lengths
+        if enc.entropy_mode == "per_block":
+            # Per-block trees are in-memory only (like the reference, which
+            # never serializes them, SURVEY.md §2.2.8) — the RLE arrays on
+            # ``enc`` are authoritative.
+            return enc.rle, enc.rle_lengths
+        return enc.rle, enc.rle_lengths
+
+    def decode(self, enc: JPEGEncoded, from_entropy: bool = True) -> np.ndarray:
+        if from_entropy and enc.entropy_mode is not None:
+            rle, lengths = self.entropy_decode(enc)
+        else:
+            rle, lengths = enc.rle, enc.rle_lengths
+        rgb = self._inverse(
+            {c: jnp.asarray(rle[c]) for c in CHANNELS},
+            {c: jnp.asarray(lengths[c]) for c in CHANNELS},
+            bpc=enc.blocks_per_col,
+            bpr=enc.blocks_per_row,
+            height=enc.height,
+            width=enc.width,
+        )
+        return np.asarray(jax.device_get(rgb))
+
+    def roundtrip(self, rgb: np.ndarray) -> np.ndarray:
+        """Full encode→decode, the reference's self-verification pattern
+        (SURVEY.md §4)."""
+        return self.decode(self.encode(rgb))
+
+    def forward_stages(self, rgb: np.ndarray) -> Dict[str, Dict[str, np.ndarray]]:
+        """All jitted forward intermediates (for stage-by-stage parity
+        tests against the oracle)."""
+        return jax.device_get(self._forward(jnp.asarray(rgb)))
+
+
+def _valid_symbols(pairs: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flatten padded (N, 2L) RLE pairs into one symbol stream."""
+    mask = np.arange(pairs.shape[1])[None, :] < lengths[:, None]
+    return pairs[mask].astype(np.int32)
+
+
+def _split_symbols(
+    symbols: np.ndarray, num_blocks: int, pad_width: int, block_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Re-block a flat symbol stream: each block's pairs end once their
+    counts sum to ``block_size`` (RLE of a full block always covers it)."""
+    pairs = np.zeros((num_blocks, pad_width), np.int32)
+    lengths = np.zeros(num_blocks, np.int32)
+    counts = symbols[0::2].astype(np.int64)
+    ends = np.cumsum(counts)
+    # Pair j belongs to block (ends[j]-1) // block_size.
+    block_of_pair = (ends - 1) // block_size
+    for i in range(num_blocks):
+        sel = np.nonzero(block_of_pair == i)[0]
+        flat = np.stack([counts[sel], symbols[1::2][sel]], axis=1).reshape(-1)
+        pairs[i, : len(flat)] = flat
+        lengths[i] = len(flat)
+    return pairs, lengths
+
+
+@functools.lru_cache(maxsize=None)
+def default_pipeline(precision: str = "fast", entropy: str = "shared") -> JPEGPipeline:
+    return JPEGPipeline(JPEGConfig(precision=precision, entropy=entropy))

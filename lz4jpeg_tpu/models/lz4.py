@@ -1,0 +1,127 @@
+"""The LZ4-style block codec, TPU-first.
+
+Pipeline (SURVEY.md §7 steps 3-4):
+
+1. split input into independent fixed-size blocks (``divide_input``,
+   LZ4.c:123-177) — the data-parallel axis;
+2. per-block match tables + greedy parse on TPU (``ops/match.py``), batched
+   over all blocks at once — the reference's O(n²·L) per-position scan
+   (LZ4.c:290-323) becomes one vectorized compare/scan pass per block batch;
+3. host-side frame serialization (``formats/lz4_frame.py``), byte-identical
+   to the reference writer.
+
+Encoding in ``parity`` mode is bit-exact with the committed golden
+``compressed.bin`` (tested); the native C++ backend (``native/``) provides
+the same parse on the host for I/O-bound paths, and ``fast`` mode (64 KiB
+blocks, hash-chain matcher) rides the same frame layer.
+
+Decode unpacks the frame robustly (see ``formats``) and reconstructs with
+the LZ77 copy-back; blocks are independent on the encode side, while decode
+framing is a serial scan over block sizes exactly like the reference
+(LZ4.c:1065-1108).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from lz4jpeg_tpu.config import LZ4Config
+from lz4jpeg_tpu.formats import (
+    Block,
+    Sequence,
+    decode_frame_bytes,
+    pack_frame,
+)
+from lz4jpeg_tpu.ops.match import greedy_parse, match_tables, pad_blocks
+
+
+class LZ4Codec:
+    """Block LZ4 codec with TPU-batched match finding."""
+
+    def __init__(self, config: LZ4Config = LZ4Config(), batch_blocks: int = 256):
+        self.config = config
+        # Blocks processed per device dispatch: bounds the (B, P, P) match
+        # table memory (B·P²·4 bytes).
+        self.batch_blocks = batch_blocks
+
+    # ------------------------------------------------------------------
+    # Encode
+    # ------------------------------------------------------------------
+
+    def encode(self, data: bytes) -> bytes:
+        if self.config.mode == "parity":
+            return self._encode_parity(data)
+        from lz4jpeg_tpu.native import native_backend
+
+        return native_backend().encode_fast(data)
+
+    def _encode_parity(self, data: bytes) -> bytes:
+        block_length = self.config.block_length
+        if len(data) < block_length:
+            raise ValueError("default block length is too high for this input")
+        padded, lengths = pad_blocks(data, block_length)
+        blocks: List[Block] = []
+        for start in range(0, padded.shape[0], self.batch_blocks):
+            chunk = padded[start : start + self.batch_blocks]
+            best_len, best_dist = match_tables(
+                chunk, max_match=self.config.max_match_length
+            )
+            is_match, emit_len, emit_dist = jax.device_get(
+                greedy_parse(best_len, best_dist)
+            )
+            for bi in range(chunk.shape[0]):
+                n = int(lengths[start + bi])
+                block_bytes = bytes(
+                    np.asarray(chunk[bi, :n], np.int32).astype(np.uint8)
+                )
+                blocks.append(
+                    _build_sequences(
+                        block_bytes,
+                        np.asarray(is_match[bi]),
+                        np.asarray(emit_len[bi]),
+                        np.asarray(emit_dist[bi]),
+                        n,
+                    )
+                )
+        return pack_frame(blocks)
+
+    # ------------------------------------------------------------------
+    # Decode
+    # ------------------------------------------------------------------
+
+    def decode(self, compressed: bytes) -> bytes:
+        return decode_frame_bytes(compressed)
+
+    def roundtrip(self, data: bytes) -> bytes:
+        return self.decode(self.encode(data))
+
+
+def _build_sequences(
+    block: bytes,
+    is_match: np.ndarray,
+    emit_len: np.ndarray,
+    emit_dist: np.ndarray,
+    n: int,
+) -> Block:
+    """Parse flags → Sequence list (mirrors block_encode's emission,
+    LZ4.c:516-613): each match closes the pending literal run; a trailing
+    literal run becomes an offset-0 sequence."""
+    seqs: List[Sequence] = []
+    match_positions = np.nonzero(is_match[:n])[0]
+    prev_end = 0
+    for k in match_positions:
+        k = int(k)
+        seqs.append(
+            Sequence(
+                literals=block[prev_end:k],
+                match_offset=int(emit_dist[k]),
+                match_length=int(emit_len[k]),
+            )
+        )
+        prev_end = k + int(emit_len[k])
+    if prev_end < n:
+        seqs.append(Sequence(block[prev_end:n], 0, 0))
+    return Block(seqs)

@@ -1,0 +1,103 @@
+"""Native C++ host-side runtime, loaded via ctypes.
+
+Provides host-grade implementations of the serial/host-bound parts of the
+framework (the L0/L1 layers the reference wrote in C, SURVEY.md §1): the
+LZ4 fast-mode encoder (hash-chain matcher over 64 KiB blocks), the frame
+serializer/deserializer, and the LZ77 copy-back — keeping the TPU for the
+batched compute path.
+
+Built with ``make -C lz4jpeg_tpu/native`` (plain g++, no dependencies).
+``native_backend()`` raises a clear error if the shared library has not
+been built; every native entry point has a pure-Python fallback elsewhere
+in the package.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "liblz4core.so")
+
+_backend = None
+
+
+class NativeBackend:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.lz4_encode_fast.restype = ctypes.c_ssize_t
+        lib.lz4_encode_fast.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.lz4_decode_fast.restype = ctypes.c_ssize_t
+        lib.lz4_decode_fast.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.lz4_encode_parity.restype = ctypes.c_ssize_t
+        lib.lz4_encode_parity.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_size_t,
+        ]
+
+    def encode_fast(self, data: bytes) -> bytes:
+        out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
+        n = self._lib.lz4_encode_fast(data, len(data), out, len(out))
+        if n < 0:
+            raise RuntimeError(f"native fast encode failed ({n})")
+        return out.raw[:n]
+
+    def decode_fast(self, data: bytes, max_out: int) -> bytes:
+        out = ctypes.create_string_buffer(max_out)
+        n = self._lib.lz4_decode_fast(data, len(data), out, len(out))
+        if n < 0:
+            raise RuntimeError(f"native fast decode failed ({n})")
+        return out.raw[:n]
+
+    def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
+        out = ctypes.create_string_buffer(2 * len(data) + 65536)
+        n = self._lib.lz4_encode_parity(
+            data, len(data), out, len(out), block_length
+        )
+        if n < 0:
+            raise RuntimeError(f"native parity encode failed ({n})")
+        return out.raw[:n]
+
+
+def build_native(quiet: bool = True) -> bool:
+    """Compile the shared library in-tree.  Returns True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", _HERE],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def native_backend(build_if_missing: bool = True) -> NativeBackend:
+    global _backend
+    if _backend is not None:
+        return _backend
+    if not os.path.exists(_LIB_PATH) and build_if_missing:
+        build_native()
+    if not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            "native backend not built; run `make -C lz4jpeg_tpu/native`"
+        )
+    _backend = NativeBackend(ctypes.CDLL(_LIB_PATH))
+    return _backend
+
+
+def native_available() -> bool:
+    try:
+        native_backend()
+        return True
+    except RuntimeError:
+        return False

@@ -1,0 +1,181 @@
+"""Huffman entropy coding: codebook construction + vectorized bit packing.
+
+Two modes mirror SURVEY.md §7 step 5:
+
+* **per_block parity mode** lives in ``oracle/jpeg_oracle.py`` — it rebuilds
+  a tree per block per channel with the reference's exact heap quirks
+  (JPEG.c:1035-1097) and is used for bit-level parity checks.
+
+* **shared mode** (this module) is the TPU-native design: one *canonical*
+  codebook per channel built from global symbol statistics, broadcast to all
+  devices, with encoding as a table gather + bit-pack.  Canonical codes are
+  fully determined by (length, symbol) order, which makes the codebook
+  serializable in a few bytes per symbol and decode table-driven — unlike
+  the reference, which never serializes its trees and can only decode
+  in-process (SURVEY.md §2.2.8).
+
+Bit packing is vectorized with NumPy (bit matrix → mask → ``packbits``); the
+packed stream is a real artifact that round-trips through bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class CanonicalCodebook:
+    """Canonical Huffman codebook over int32 symbols."""
+
+    symbols: np.ndarray   # (S,) int32, sorted by (length, symbol)
+    lengths: np.ndarray   # (S,) uint8 code lengths, ascending
+    codes: np.ndarray     # (S,) uint32 canonical codewords (MSB-first)
+
+    def encode_map(self) -> Dict[int, Tuple[int, int]]:
+        return {
+            int(s): (int(c), int(l))
+            for s, c, l in zip(self.symbols, self.codes, self.lengths)
+        }
+
+    def serialize(self) -> bytes:
+        """(count:u32, then per symbol: symbol:i32 length:u8) — canonical
+        codes are reconstructible from lengths alone."""
+        out = bytearray()
+        out += np.uint32(len(self.symbols)).tobytes()
+        out += self.symbols.astype("<i4").tobytes()
+        out += self.lengths.astype(np.uint8).tobytes()
+        return bytes(out)
+
+    @staticmethod
+    def deserialize(data: bytes, offset: int = 0) -> Tuple["CanonicalCodebook", int]:
+        count = int(np.frombuffer(data, "<u4", 1, offset)[0])
+        offset += 4
+        symbols = np.frombuffer(data, "<i4", count, offset).copy()
+        offset += 4 * count
+        lengths = np.frombuffer(data, np.uint8, count, offset).copy()
+        offset += count
+        codes = _canonical_codes(lengths)
+        return CanonicalCodebook(symbols, lengths, codes), offset
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Assign canonical codewords to length-sorted symbols."""
+    codes = np.zeros(len(lengths), np.uint32)
+    code = 0
+    prev_len = int(lengths[0]) if len(lengths) else 0
+    for i, l in enumerate(lengths):
+        code <<= int(l) - prev_len
+        prev_len = int(l)
+        codes[i] = code
+        code += 1
+    return codes
+
+
+def build_canonical_codebook(symbols: np.ndarray) -> CanonicalCodebook:
+    """Optimal code lengths via Huffman (stable heap), then canonical codes.
+
+    A single-symbol alphabet gets a 1-bit code (the reference emits an empty
+    code there, JPEG.c:963-975, which is unserializable; 1 bit is the
+    canonical fix and still round-trips).
+    """
+    values, counts = np.unique(np.asarray(symbols, np.int64), return_counts=True)
+    if len(values) == 1:
+        return CanonicalCodebook(
+            values.astype(np.int32),
+            np.array([1], np.uint8),
+            np.array([0], np.uint32),
+        )
+    # (count, tiebreak, id): deterministic merge order.
+    heap: List[Tuple[int, int, int]] = [
+        (int(c), i, i) for i, c in enumerate(counts)
+    ]
+    heapq.heapify(heap)
+    parent = {}
+    next_id = len(values)
+    while len(heap) > 1:
+        c1, _, a = heapq.heappop(heap)
+        c2, _, b = heapq.heappop(heap)
+        parent[a] = next_id
+        parent[b] = next_id
+        heapq.heappush(heap, (c1 + c2, next_id, next_id))
+        next_id += 1
+    depths = np.zeros(len(values), np.uint8)
+    for i in range(len(values)):
+        d, node = 0, i
+        while node in parent:
+            node = parent[node]
+            d += 1
+        depths[i] = d
+    order = np.lexsort((values, depths))
+    lengths = depths[order]
+    return CanonicalCodebook(
+        values[order].astype(np.int32), lengths, _canonical_codes(lengths)
+    )
+
+
+def pack_symbols(
+    symbols: np.ndarray, codebook: CanonicalCodebook
+) -> Tuple[bytes, int]:
+    """Vectorized encode: symbols → (packed bytes, total bit count)."""
+    symbols = np.asarray(symbols, np.int32)
+    if len(symbols) == 0:
+        return b"", 0
+    # Map symbols → codebook rows via searchsorted on the symbol-sorted view.
+    sym_order = np.argsort(codebook.symbols, kind="stable")
+    sorted_syms = codebook.symbols[sym_order]
+    rows = sym_order[np.searchsorted(sorted_syms, symbols)]
+    if not np.array_equal(codebook.symbols[rows], symbols):
+        raise ValueError("symbol outside codebook")
+    lengths = codebook.lengths[rows].astype(np.int64)
+    codes = codebook.codes[rows].astype(np.int64)
+    max_len = int(lengths.max())
+    # Bit matrix: row i holds code i MSB-first in its first lengths[i] slots.
+    shifts = lengths[:, None] - 1 - np.arange(max_len, dtype=np.int64)[None, :]
+    valid = shifts >= 0
+    bits = np.where(
+        valid, (codes[:, None] >> np.maximum(shifts, 0)) & 1, 0
+    ).astype(np.uint8)
+    flat_bits = bits[valid]
+    total_bits = int(lengths.sum())
+    return np.packbits(flat_bits).tobytes(), total_bits
+
+
+def unpack_symbols(
+    packed: bytes, total_bits: int, codebook: CanonicalCodebook
+) -> np.ndarray:
+    """Table-driven canonical decode (first-code arithmetic per length)."""
+    if total_bits == 0:
+        return np.zeros(0, np.int32)
+    bits = np.unpackbits(np.frombuffer(packed, np.uint8))[:total_bits]
+    # first_code[l], first_index[l] for each distinct length.
+    lengths = codebook.lengths.astype(np.int64)
+    out: List[int] = []
+    # Precompute per-length ranges.
+    uniq = np.unique(lengths)
+    first_code = {}
+    first_index = {}
+    for l in uniq:
+        idx = int(np.searchsorted(lengths, l))
+        first_code[int(l)] = int(codebook.codes[idx])
+        first_index[int(l)] = idx
+    count_per_len = {int(l): int((lengths == l).sum()) for l in uniq}
+    pos = 0
+    code = 0
+    code_len = 0
+    symbols = codebook.symbols
+    while pos < total_bits:
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        code_len += 1
+        fc = first_code.get(code_len)
+        if fc is not None and fc <= code < fc + count_per_len[code_len]:
+            out.append(int(symbols[first_index[code_len] + (code - fc)]))
+            code = 0
+            code_len = 0
+    if code_len != 0:
+        raise ValueError("trailing bits do not form a codeword")
+    return np.asarray(out, np.int32)

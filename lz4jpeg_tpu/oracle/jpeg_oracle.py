@@ -75,14 +75,41 @@ CHROMINANCE_QUANTIZATION_TABLE = np.array(
 # Color transform (JPEG.c:114-185)
 # ---------------------------------------------------------------------------
 
-def build_ycbcr_planes(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """RGB (H,W,3) uint8 → (Y, Cr, Cb) uint8 planes with exact C truncation."""
+def _snap(x: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """Snap values within ``eps`` of an integer onto it.
+
+    The color coefficients all have ≤3 decimals, so every *true* transform
+    value lies on a 1/1000 grid: a non-integer true value is ≥1e-3 from any
+    integer and snapping with eps=1e-4 is provably exact.  At exact-integer
+    true values the C's literal double expression may itself land an ulp
+    below the integer (e.g. 0.299·R+0.587·G+0.114·B for an exact 110.0) and
+    truncate "wrong" — snapping defines the deterministic semantics the TPU
+    pipeline uses.
+    """
+    nearest = np.round(x)
+    return np.where(np.abs(x - nearest) <= eps, nearest, x)
+
+
+def build_ycbcr_planes(
+    rgb: np.ndarray, snap_ties: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RGB (H,W,3) uint8 → (Y, Cr, Cb) uint8 planes with exact C truncation.
+
+    ``snap_ties=False`` is the bug-compatible C behavior (truncate the raw
+    double expression); ``snap_ties=True`` snaps exact-integer ties first
+    (see ``_snap``) — the deterministic semantics of the TPU pipeline.
+    """
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
-    y = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)  # double→uint8 trunc
-    cr = np.clip(np.trunc(0.439 * r - 0.368 * g - 0.071 * b + 128), 0, 255)
-    cb = np.clip(np.trunc(-0.148 * r - 0.291 * g + 0.439 * b + 128), 0, 255)
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    crf = 0.439 * r - 0.368 * g - 0.071 * b + 128
+    cbf = -0.148 * r - 0.291 * g + 0.439 * b + 128
+    if snap_ties:
+        yf, crf, cbf = _snap(yf), _snap(crf), _snap(cbf)
+    y = np.trunc(yf).astype(np.uint8)  # double→uint8 trunc
+    cr = np.clip(np.trunc(crf), 0, 255)
+    cb = np.clip(np.trunc(cbf), 0, 255)
     return y, cr.astype(np.uint8), cb.astype(np.uint8)
 
 
@@ -222,9 +249,23 @@ def idct2d_oracle(coefficients: np.ndarray, width: int, height: int) -> np.ndarr
 # Quantization (JPEG.c:621-638)
 # ---------------------------------------------------------------------------
 
-def quantize_oracle(coefficients: np.ndarray, table: np.ndarray) -> np.ndarray:
-    """Divide then truncate toward zero — not round (JPEG.c:626-627)."""
-    return np.trunc(coefficients / table.astype(np.float64))
+def quantize_oracle(
+    coefficients: np.ndarray, table: np.ndarray, snap_ties: bool = False
+) -> np.ndarray:
+    """Divide then truncate toward zero — not round (JPEG.c:626-627).
+
+    With ``snap_ties=True``, ratios within 1e-9 of an integer are snapped to
+    it first.  At such *quantization ties* the true coefficient is an exact
+    multiple of the table entry and the C's result is an order/libm-dependent
+    ulp artifact (see ``ops/quantize.py``); snapping makes the result
+    deterministic and is what the TPU pipeline does.  ``snap_ties=False`` is
+    the bug-compatible C behavior.
+    """
+    ratio = coefficients / table.astype(np.float64)
+    if snap_ties:
+        nearest = np.round(ratio)
+        ratio = np.where(np.abs(ratio - nearest) <= 1e-9, nearest, ratio)
+    return np.trunc(ratio)
 
 
 def dequantize_oracle(coefficients: np.ndarray, table: np.ndarray) -> np.ndarray:
@@ -432,13 +473,15 @@ def decode_huffman_oracle(root: HuffNode, bits: str) -> List[int]:
 # Full pipelines
 # ---------------------------------------------------------------------------
 
-def jpeg_forward_oracle(rgb: np.ndarray) -> Dict[str, object]:
+def jpeg_forward_oracle(rgb: np.ndarray, snap_ties: bool = False) -> Dict[str, object]:
     """PNG pixels → quantized+zigzagged coefficients and RLE streams.
 
     Mirrors JPEG.c main():1103-1220 (encode half).  Returns every
     intermediate needed to verify TPU kernels stage by stage.
+    ``snap_ties`` selects deterministic tie handling (see
+    ``quantize_oracle``); False is the bug-compatible C behavior.
     """
-    y, cr, cb = build_ycbcr_planes(rgb)
+    y, cr, cb = build_ycbcr_planes(rgb, snap_ties)
     cr_sub = chroma_subsample(cr)
     cb_sub = chroma_subsample(cb)
     planes = divide_image(y, cr_sub, cb_sub)
@@ -448,13 +491,19 @@ def jpeg_forward_oracle(rgb: np.ndarray) -> Dict[str, object]:
     b_q = np.zeros((n, 32))
     for i in range(n):
         lum_q[i] = quantize_oracle(
-            dct2d_oracle(planes.lum[i], 8, 8), LUMINANCE_QUANTIZATION_TABLE
+            dct2d_oracle(planes.lum[i], 8, 8),
+            LUMINANCE_QUANTIZATION_TABLE,
+            snap_ties,
         )
         r_q[i] = quantize_oracle(
-            dct2d_oracle(planes.r[i], 4, 8), CHROMINANCE_QUANTIZATION_TABLE
+            dct2d_oracle(planes.r[i], 4, 8),
+            CHROMINANCE_QUANTIZATION_TABLE,
+            snap_ties,
         )
         b_q[i] = quantize_oracle(
-            dct2d_oracle(planes.b[i], 4, 8), CHROMINANCE_QUANTIZATION_TABLE
+            dct2d_oracle(planes.b[i], 4, 8),
+            CHROMINANCE_QUANTIZATION_TABLE,
+            snap_ties,
         )
     zz_lum = lum_q[:, zigzag_indices(8, 8)]
     zz_r = r_q[:, zigzag_indices(4, 8)]
@@ -472,10 +521,12 @@ def jpeg_forward_oracle(rgb: np.ndarray) -> Dict[str, object]:
     }
 
 
-def jpeg_roundtrip_oracle(rgb: np.ndarray) -> Tuple[np.ndarray, Dict[str, object]]:
+def jpeg_roundtrip_oracle(
+    rgb: np.ndarray, snap_ties: bool = False
+) -> Tuple[np.ndarray, Dict[str, object]]:
     """Full encode→decode round trip (JPEG.c main():1099-1428), returning the
     reconstructed RGB image and all intermediates."""
-    fwd = jpeg_forward_oracle(rgb)
+    fwd = jpeg_forward_oracle(rgb, snap_ties)
     planes: MCUPlanes = fwd["planes"]
     n = planes.lum.shape[0]
     out_lum = np.zeros_like(planes.lum)

@@ -7,8 +7,11 @@ and with x64 enabled so the "exact" float64 pipelines are available.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pre-sets JAX_PLATFORMS to the TPU tunnel ("axon")
+# and its sitecustomize imports jax at interpreter start, so env vars set
+# here are too late — use the config API instead, which still wins as long
+# as no backend has been initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,114 @@
+"""End-to-end parity of the JPEGPipeline model against the oracle."""
+
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.config import JPEGConfig
+from lz4jpeg_tpu.models import JPEGPipeline
+from lz4jpeg_tpu.oracle import jpeg_oracle as oracle
+
+
+def noise(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def exact_pipeline():
+    return JPEGPipeline(JPEGConfig(precision="exact", entropy="shared"))
+
+
+@pytest.fixture(scope="module")
+def parity_pipeline():
+    return JPEGPipeline(JPEGConfig(precision="exact", entropy="per_block"))
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("size", [8, 16, 32])
+    def test_quantized_zigzag_streams_match_oracle(self, rng, exact_pipeline, size):
+        img = noise(rng, size, size)
+        ref = oracle.jpeg_forward_oracle(img, snap_ties=True)
+        stages = exact_pipeline.forward_stages(img)
+        np.testing.assert_array_equal(stages["lum"]["zz"], ref["zz_lum"])
+        np.testing.assert_array_equal(stages["r"]["zz"], ref["zz_r"])
+        np.testing.assert_array_equal(stages["b"]["zz"], ref["zz_b"])
+
+    def test_rle_streams_match_oracle(self, rng, exact_pipeline):
+        img = noise(rng, 16, 16)
+        ref = oracle.jpeg_forward_oracle(img, snap_ties=True)
+        enc = exact_pipeline.encode(img, entropy=False)
+        for c, key in (("lum", "rle_lum"), ("r", "rle_r"), ("b", "rle_b")):
+            for i in range(enc.num_blocks):
+                n = int(enc.rle_lengths[c][i])
+                assert list(enc.rle[c][i, :n]) == ref[key][i]
+
+    def test_non_square_image(self, rng, exact_pipeline):
+        img = noise(rng, 16, 32)
+        ref = oracle.jpeg_forward_oracle(img, snap_ties=True)
+        stages = exact_pipeline.forward_stages(img)
+        np.testing.assert_array_equal(stages["lum"]["zz"], ref["zz_lum"])
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("size", [8, 16])
+    def test_reconstruction_matches_oracle_exactly(self, rng, exact_pipeline, size):
+        img = noise(rng, size, size)
+        ref_rec, _ = oracle.jpeg_roundtrip_oracle(img, snap_ties=True)
+        ours = exact_pipeline.roundtrip(img)
+        np.testing.assert_array_equal(ours, ref_rec)
+
+    def test_fast_f32_reconstruction_close(self, rng):
+        img = noise(rng, 16, 16)
+        fast = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        ref_rec, _ = oracle.jpeg_roundtrip_oracle(img, snap_ties=True)
+        ours = fast.roundtrip(img)
+        # f32 vs f64 may flip a truncation on rare boundary values; pixels
+        # stay within a couple of levels.
+        assert np.abs(ours.astype(int) - ref_rec.astype(int)).max() <= 2
+
+    def test_solid_color_roundtrip(self, exact_pipeline):
+        img = np.full((8, 8, 3), 77, dtype=np.uint8)
+        ref_rec, _ = oracle.jpeg_roundtrip_oracle(img, snap_ties=True)
+        np.testing.assert_array_equal(exact_pipeline.roundtrip(img), ref_rec)
+
+
+class TestEntropy:
+    def test_shared_mode_roundtrips_rle(self, rng, exact_pipeline):
+        img = noise(rng, 16, 16)
+        enc = exact_pipeline.encode(img)
+        rle, lengths = exact_pipeline.entropy_decode(enc)
+        for c in ("lum", "r", "b"):
+            np.testing.assert_array_equal(lengths[c], enc.rle_lengths[c])
+            np.testing.assert_array_equal(rle[c], enc.rle[c])
+
+    def test_shared_streams_serialize(self, rng, exact_pipeline):
+        from lz4jpeg_tpu.ops.huffman import CanonicalCodebook, unpack_symbols
+
+        img = noise(rng, 16, 16)
+        enc = exact_pipeline.encode(img)
+        for c in ("lum", "r", "b"):
+            codebook, packed, nbits = enc.shared_streams[c]
+            blob = codebook.serialize()
+            restored, _ = CanonicalCodebook.deserialize(blob)
+            np.testing.assert_array_equal(restored.codes, codebook.codes)
+            # decode through the deserialized book
+            from lz4jpeg_tpu.models.jpeg import _valid_symbols
+
+            ref_syms = _valid_symbols(enc.rle[c], enc.rle_lengths[c])
+            np.testing.assert_array_equal(
+                unpack_symbols(packed, nbits, restored), ref_syms
+            )
+
+    def test_per_block_bits_match_reference_huffman(self, rng, parity_pipeline):
+        # The per-block mode reproduces the oracle's (reference-faithful)
+        # Huffman bitstrings exactly, quirky heap and all.
+        img = noise(rng, 16, 16)
+        _, ref = oracle.jpeg_roundtrip_oracle(img, snap_ties=True)
+        enc = parity_pipeline.encode(img)
+        assert enc.per_block_bits["lum"] == ref["huff_bits"]["lum"]
+        assert enc.per_block_bits["r"] == ref["huff_bits"]["r"]
+        assert enc.per_block_bits["b"] == ref["huff_bits"]["b"]
+
+    def test_compressed_bytes_reported(self, rng, exact_pipeline):
+        img = noise(rng, 16, 16)
+        enc = exact_pipeline.encode(img)
+        assert enc.compressed_bytes() > 0
