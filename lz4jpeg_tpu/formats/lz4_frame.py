@@ -88,6 +88,15 @@ def _write_ext(out: bytearray, value: int) -> None:
 
 def pack_sequence(seq: Sequence, out: bytearray) -> None:
     lit = len(seq.literals)
+    if lit > 270:
+        # The reference stores literal counts in uint8 struct fields and
+        # truncates the extension byte arithmetic (&0xFF, LZ4.c:371-386), so
+        # runs above 270 produce a stream its own decoder desyncs on (the
+        # ext encoding reaches at most 15+255).  Refuse to emit a corrupt
+        # stream; the fast-mode frame has widened headers for this.
+        raise FormatError(
+            f"literal run of {lit} exceeds the parity format's 270-byte limit"
+        )
     out.append(seq.token)
     out += struct.pack("<H", seq.byte_size & 0xFFFF)
     if lit >= 15:

@@ -70,7 +70,7 @@ def match_tables(blocks: jnp.ndarray, max_match: int = 1024):
     # next zero position at or after k, per (n, d) row: reversed cummin of
     # (k where ~eq else P).
     zpos = jnp.where(eq, p, k[None, None, :])
-    next_zero = jax.lax.cummin(zpos[..., ::-1], axis=-1)[..., ::-1]
+    next_zero = jax.lax.cummin(zpos[..., ::-1], axis=zpos.ndim - 1)[..., ::-1]
     run = next_zero - k[None, None, :]  # R[d, k], 0 where eq[k] is False
     run = jnp.minimum(run, max_match)
     # Valid candidates: 1 <= d <= k (candidate j = k - d >= 0).
@@ -110,13 +110,15 @@ def greedy_parse(best_len: jnp.ndarray, best_dist: jnp.ndarray):
             k, ml, dist = inputs
             consumed = k < skip_until
             is_match = (~consumed) & (ml > 0)
-            new_skip = jnp.where(is_match, k + ml, skip_until)
+            new_skip = jnp.where(is_match, k + ml, skip_until).astype(jnp.int32)
             return new_skip, (is_match, jnp.where(is_match, ml, 0),
                               jnp.where(is_match, dist, 0))
 
         p = lens.shape[0]
         _, (is_match, emit_len, emit_dist) = jax.lax.scan(
-            step, jnp.int32(0), (jnp.arange(p), lens, dists)
+            step,
+            jnp.int32(0),
+            (jnp.arange(p, dtype=jnp.int32), lens, dists),
         )
         return is_match, emit_len, emit_dist
 
