@@ -54,9 +54,13 @@ class LZ4Codec:
     def encode(self, data: bytes) -> bytes:
         if self.config.mode == "parity":
             return self._encode_parity(data)
-        from lz4jpeg_tpu.native import native_backend
+        from lz4jpeg_tpu.native import native_available, native_backend
 
-        return native_backend().encode_fast(data)
+        if native_available():
+            return native_backend().encode_fast(data)
+        from lz4jpeg_tpu.formats.fast_frame import encode_fast
+
+        return encode_fast(data)
 
     def _encode_parity(self, data: bytes) -> bytes:
         block_length = self.config.block_length
@@ -93,6 +97,18 @@ class LZ4Codec:
     # ------------------------------------------------------------------
 
     def decode(self, compressed: bytes) -> bytes:
+        from lz4jpeg_tpu.formats.fast_frame import is_fast_frame
+
+        if is_fast_frame(compressed):
+            import struct
+
+            from lz4jpeg_tpu.formats.fast_frame import decode_fast
+            from lz4jpeg_tpu.native import native_available, native_backend
+
+            if native_available():
+                (raw_size,) = struct.unpack_from("<Q", compressed, 8)
+                return native_backend().decode_fast(compressed, raw_size)
+            return decode_fast(compressed)
         return decode_frame_bytes(compressed)
 
     def roundtrip(self, data: bytes) -> bytes:

@@ -1,0 +1,360 @@
+// Native host-side LZ4 runtime for lz4jpeg_tpu.
+//
+// Implements the two wire formats of the framework at C++ speed:
+//
+//  * fast frame ("LZ4T", spec in formats/fast_frame.py): greedy single-probe
+//    hash-table encoder over 64 KiB blocks, byte-identical to the Python
+//    executable spec; safe decoder.
+//  * parity frame: the reference's exact semantics (brute-force greedy
+//    longest match over 300-byte blocks, earliest-candidate tie break,
+//    uint8 length truncation — see oracle/lz4_oracle.py and
+//    Algorithms/sequential/LZ4/LZ4.c:290-620 for the behavior being
+//    reproduced), bit-exact with the committed golden compressed.bin.
+//
+// Exposed as a plain C ABI for ctypes (native/__init__.py).  All entry
+// points return the number of bytes written, or a negative error code.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kErrOutputFull = -1;
+constexpr int kErrBadInput = -2;
+
+// ---------------------------------------------------------------------------
+// Fast frame ("LZ4T")
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t kMagic = 0x54345A4C;  // "LZ4T"
+constexpr uint8_t kVersion = 1;
+constexpr int kBlockLog = 16;
+constexpr uint32_t kRawFlag = 0x80000000u;
+constexpr int kHashLog = 13;
+constexpr uint32_t kHashMult = 2654435761u;
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/ARM/TPU VMs)
+}
+
+inline uint32_t hash32(uint32_t x) {
+  return (x * kHashMult) >> (32 - kHashLog);
+}
+
+inline void put16(std::vector<uint8_t>& out, uint16_t v) {
+  out.push_back(v & 0xFF);
+  out.push_back(v >> 8);
+}
+
+inline void put32(std::vector<uint8_t>& out, uint32_t v) {
+  for (int i = 0; i < 4; ++i) out.push_back((v >> (8 * i)) & 0xFF);
+}
+
+inline void put64(std::vector<uint8_t>& out, uint64_t v) {
+  for (int i = 0; i < 8; ++i) out.push_back((v >> (8 * i)) & 0xFF);
+}
+
+void emit_ext(std::vector<uint8_t>& out, size_t value) {
+  while (value >= 255) {
+    out.push_back(255);
+    value -= 255;
+  }
+  out.push_back(static_cast<uint8_t>(value));
+}
+
+// Greedy single-probe walk — must stay in lockstep with
+// formats/fast_frame.py::compress_block (tested byte-identical).
+void compress_block_fast(const uint8_t* block, size_t n,
+                         std::vector<uint8_t>& out) {
+  std::vector<int32_t> table(1u << kHashLog, -1);
+  size_t i = 0, anchor = 0;
+  while (i + 4 <= n) {
+    uint32_t h = hash32(load32(block + i));
+    int32_t cand = table[h];
+    table[h] = static_cast<int32_t>(i);
+    if (cand >= 0 && i - static_cast<size_t>(cand) <= 0xFFFF &&
+        load32(block + cand) == load32(block + i)) {
+      size_t len = 4;
+      while (i + len < n && block[cand + len] == block[i + len]) ++len;
+      size_t lit = i - anchor;
+      size_t ml = len - 4;
+      out.push_back(static_cast<uint8_t>(
+          ((lit < 15 ? lit : 15) << 4) | (ml < 15 ? ml : 15)));
+      if (lit >= 15) emit_ext(out, lit - 15);
+      out.insert(out.end(), block + anchor, block + i);
+      put16(out, static_cast<uint16_t>(i - cand));
+      if (ml >= 15) emit_ext(out, ml - 15);
+      i += len;
+      anchor = i;
+    } else {
+      ++i;
+    }
+  }
+  size_t lit = n - anchor;
+  out.push_back(static_cast<uint8_t>((lit < 15 ? lit : 15) << 4));
+  if (lit >= 15) emit_ext(out, lit - 15);
+  out.insert(out.end(), block + anchor, block + n);
+}
+
+int64_t decompress_block_fast(const uint8_t* payload, size_t n, uint8_t* out,
+                              size_t out_start, size_t out_cap,
+                              size_t raw_size) {
+  size_t p = 0, w = out_start;
+  const size_t end = out_start + raw_size;
+  while (p < n) {
+    if (w > end) return kErrBadInput;
+    uint8_t token = payload[p++];
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (p >= n) return kErrBadInput;
+        b = payload[p++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (p + lit > n || w + lit > out_cap) return kErrBadInput;
+    std::memcpy(out + w, payload + p, lit);
+    p += lit;
+    w += lit;
+    if (p == n) break;  // final literals-only sequence
+    if (p + 2 > n) return kErrBadInput;
+    size_t offset = payload[p] | (payload[p + 1] << 8);
+    p += 2;
+    if (offset == 0 || offset > w) return kErrBadInput;
+    size_t ml = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (p >= n) return kErrBadInput;
+        b = payload[p++];
+        ml += b;
+      } while (b == 255);
+    }
+    if (w + ml > out_cap) return kErrBadInput;
+    for (size_t k = 0; k < ml; ++k, ++w) out[w] = out[w - offset];
+  }
+  if (w != end) return kErrBadInput;
+  return static_cast<int64_t>(raw_size);
+}
+
+// ---------------------------------------------------------------------------
+// Parity frame (reference wire format; see oracle/lz4_oracle.py)
+// ---------------------------------------------------------------------------
+
+constexpr int kMinMatch = 4;
+constexpr int kMaxMatch = 1024;
+
+// Greedy longest-match scan with the reference's exact semantics: candidates
+// oldest->newest, strict > keeps the earliest (largest-offset) maximum, the
+// >=4 check is on the untruncated length, the result is truncated mod 256.
+void find_longest_match_parity(const uint8_t* block, size_t n, size_t pos,
+                               unsigned* out_len, unsigned* out_dist) {
+  size_t best = 0, best_dist = 0;
+  for (size_t i = 0; i < pos; ++i) {
+    size_t m = 0;
+    while (m < static_cast<size_t>(kMaxMatch) && pos + m < n &&
+           block[i + m] == block[pos + m])
+      ++m;
+    if (m > best) {
+      best = m;
+      best_dist = pos - i;
+    }
+  }
+  if (best >= static_cast<size_t>(kMinMatch)) {
+    *out_len = static_cast<unsigned>(best & 0xFF);
+    *out_dist = static_cast<unsigned>(best_dist & 0xFFFF);
+  } else {
+    *out_len = 0;
+    *out_dist = 0;
+  }
+}
+
+size_t ext_len_count(unsigned value) {
+  size_t k = 0;
+  while (value >= 255) {
+    ++k;
+    value -= 255;
+  }
+  return k + 1;
+}
+
+void write_ext_parity(std::vector<uint8_t>& out, unsigned value) {
+  while (value >= 255) {
+    out.push_back(255);
+    value -= 255;
+  }
+  out.push_back(static_cast<uint8_t>(value));
+}
+
+struct ParitySeq {
+  size_t lit_start, lit_count;
+  unsigned offset, length;  // length already uint8-truncated; 0 = tail
+};
+
+// block_encode (LZ4.c:506-620) semantics; emits into `out`, returns the
+// serialized block byte size (including the 3-byte header).
+int64_t encode_block_parity(const uint8_t* block, size_t n,
+                            std::vector<uint8_t>& out) {
+  std::vector<ParitySeq> seqs;
+  size_t idx = 0, lit_start = 0, lit_count = 0;
+  while (idx < n) {
+    unsigned ml, dist;
+    find_longest_match_parity(block, n, idx, &ml, &dist);
+    if (ml == 0) {
+      if (lit_count == 0) lit_start = idx;
+      ++idx;
+      ++lit_count;
+    } else {
+      seqs.push_back({lit_start, lit_count, dist, ml});
+      lit_count = 0;
+      idx += ml;
+    }
+  }
+  if (lit_count > 0) seqs.push_back({lit_start, lit_count, 0, 0});
+
+  size_t block_size = 3;
+  for (const auto& s : seqs) {
+    size_t sz = s.lit_count + 5;
+    if (s.lit_count >= 15) sz += ext_len_count((s.lit_count - 15) & 0xFF);
+    if (s.length != 0) {
+      unsigned adj = (s.length - 4) & 0xFF;
+      if (adj >= 15) sz += ext_len_count((adj - 15) & 0xFF);
+    }
+    // The parity format cannot represent >270-byte literal runs (the
+    // reference's own decoder desyncs); mirror formats/lz4_frame.py.
+    if (s.lit_count > 270) return kErrBadInput;
+    block_size += sz;
+  }
+
+  out.push_back(static_cast<uint8_t>(seqs.size() & 0xFF));
+  put16(out, static_cast<uint16_t>(block_size & 0xFFFF));
+  for (const auto& s : seqs) {
+    unsigned token_lit = s.lit_count >= 15 ? 15 : s.lit_count;
+    unsigned token_ml =
+        s.length == 0 ? 0 : (s.length >= 19 ? 15 : (s.length - 4) & 0xFF);
+    out.push_back(static_cast<uint8_t>(((token_lit << 4) | token_ml) & 0xFF));
+    size_t sz = s.lit_count + 5;
+    if (s.lit_count >= 15) sz += ext_len_count((s.lit_count - 15) & 0xFF);
+    if (s.length != 0) {
+      unsigned adj = (s.length - 4) & 0xFF;
+      if (adj >= 15) sz += ext_len_count((adj - 15) & 0xFF);
+    }
+    put16(out, static_cast<uint16_t>(sz & 0xFFFF));
+    if (s.lit_count >= 15) write_ext_parity(out, (s.lit_count - 15) & 0xFF);
+    out.insert(out.end(), block + s.lit_start,
+               block + s.lit_start + s.lit_count);
+    put16(out, static_cast<uint16_t>(s.offset & 0xFFFF));
+    if (s.length >= 4) {
+      unsigned adj = (s.length - 4) & 0xFF;
+      if (adj >= 15) write_ext_parity(out, (adj - 15) & 0xFF);
+    }
+  }
+  return static_cast<int64_t>(block_size);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fast frame encode: data -> LZ4T frame.  Returns bytes written or <0.
+int64_t lz4_encode_fast(const uint8_t* data, size_t n, uint8_t* out,
+                        size_t out_cap) {
+  const size_t block_size = 1u << kBlockLog;
+  const size_t block_count = n == 0 ? 0 : (n + block_size - 1) / block_size;
+  std::vector<uint8_t> frame;
+  frame.reserve(n / 2 + 64);
+  put32(frame, kMagic);
+  frame.push_back(kVersion);
+  frame.push_back(kBlockLog);
+  put16(frame, 0);
+  put64(frame, n);
+  put32(frame, static_cast<uint32_t>(block_count));
+  const size_t sizes_at = frame.size();
+  frame.resize(frame.size() + 4 * block_count);
+  std::vector<uint8_t> comp;
+  for (size_t b = 0; b < block_count; ++b) {
+    const uint8_t* p = data + b * block_size;
+    const size_t len = (b + 1) * block_size <= n ? block_size : n - b * block_size;
+    comp.clear();
+    compress_block_fast(p, len, comp);
+    uint32_t rec;
+    if (comp.size() >= len) {
+      rec = static_cast<uint32_t>(len) | kRawFlag;
+      frame.insert(frame.end(), p, p + len);
+    } else {
+      rec = static_cast<uint32_t>(comp.size());
+      frame.insert(frame.end(), comp.begin(), comp.end());
+    }
+    std::memcpy(frame.data() + sizes_at + 4 * b, &rec, 4);
+  }
+  if (frame.size() > out_cap) return kErrOutputFull;
+  std::memcpy(out, frame.data(), frame.size());
+  return static_cast<int64_t>(frame.size());
+}
+
+// Fast frame decode.  Returns raw bytes written or <0.
+int64_t lz4_decode_fast(const uint8_t* data, size_t n, uint8_t* out,
+                        size_t out_cap) {
+  if (n < 20) return kErrBadInput;
+  uint32_t magic;
+  std::memcpy(&magic, data, 4);
+  if (magic != kMagic || data[4] != kVersion) return kErrBadInput;
+  const int block_log = data[5];
+  uint64_t raw_size;
+  std::memcpy(&raw_size, data + 8, 8);
+  uint32_t block_count;
+  std::memcpy(&block_count, data + 16, 4);
+  if (raw_size > out_cap) return kErrOutputFull;
+  const size_t block_size = 1ull << block_log;
+  size_t p = 20 + 4ull * block_count;
+  if (p > n) return kErrBadInput;
+  size_t w = 0;
+  for (uint32_t b = 0; b < block_count; ++b) {
+    uint32_t rec;
+    std::memcpy(&rec, data + 20 + 4ull * b, 4);
+    const size_t expected =
+        raw_size - w < block_size ? static_cast<size_t>(raw_size - w) : block_size;
+    if (rec & kRawFlag) {
+      const size_t len = rec & ~kRawFlag;
+      if (len != expected || p + len > n) return kErrBadInput;
+      std::memcpy(out + w, data + p, len);
+      p += len;
+      w += len;
+    } else {
+      if (p + rec > n) return kErrBadInput;
+      int64_t got =
+          decompress_block_fast(data + p, rec, out, w, out_cap, expected);
+      if (got < 0) return got;
+      p += rec;
+      w += expected;
+    }
+  }
+  if (p != n || w != raw_size) return kErrBadInput;
+  return static_cast<int64_t>(w);
+}
+
+// Parity frame encode (reference wire format).  Returns bytes written or <0.
+int64_t lz4_encode_parity(const uint8_t* data, size_t n, uint8_t* out,
+                          size_t out_cap, size_t block_length) {
+  if (block_length == 0 || block_length == 500 || n < block_length)
+    return kErrBadInput;
+  const size_t block_count = (n + block_length - 1) / block_length;
+  std::vector<uint8_t> frame;
+  frame.reserve(n + n / 4 + 16);
+  frame.push_back(static_cast<uint8_t>(block_count & 0xFF));
+  for (size_t b = 0; b < block_count; ++b) {
+    const uint8_t* p = data + b * block_length;
+    const size_t len =
+        (b + 1) * block_length <= n ? block_length : n - b * block_length;
+    if (encode_block_parity(p, len, frame) < 0) return kErrBadInput;
+  }
+  if (frame.size() > out_cap) return kErrOutputFull;
+  std::memcpy(out, frame.data(), frame.size());
+  return static_cast<int64_t>(frame.size());
+}
+
+}  // extern "C"

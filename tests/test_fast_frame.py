@@ -1,0 +1,97 @@
+"""Fast-mode LZ4 frame: Python spec ↔ native C++ cross-parity."""
+
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.config import LZ4Config
+from lz4jpeg_tpu.formats import fast_frame
+from lz4jpeg_tpu.models.lz4 import LZ4Codec
+from lz4jpeg_tpu.native import native_available, native_backend
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native backend not built"
+)
+
+
+def corpus_sample(metamorphosis, rng, size):
+    start = int(rng.integers(0, len(metamorphosis) - size))
+    return metamorphosis[start : start + size]
+
+
+CASES = [
+    b"",
+    b"a",
+    b"abcd" * 1000,
+    bytes(range(256)) * 10,
+]
+
+
+class TestPythonSpec:
+    @pytest.mark.parametrize("data", CASES, ids=["empty", "one", "rep", "cycle"])
+    def test_roundtrip(self, data):
+        assert fast_frame.decode_fast(fast_frame.encode_fast(data)) == data
+
+    def test_roundtrip_corpus(self, metamorphosis):
+        enc = fast_frame.encode_fast(metamorphosis)
+        assert fast_frame.decode_fast(enc) == metamorphosis
+        assert len(enc) < len(metamorphosis)  # actually compresses text
+
+    def test_roundtrip_noise_stored_raw(self, rng):
+        data = bytes(rng.integers(0, 256, size=70000, dtype=np.uint8))
+        enc = fast_frame.encode_fast(data)
+        assert fast_frame.decode_fast(enc) == data
+        # Incompressible blocks are stored raw: bounded expansion.
+        assert len(enc) <= len(data) + 20 + 4 * 2 + 16
+
+    def test_multi_block_ragged(self, metamorphosis):
+        data = metamorphosis  # 118 KB → 2 blocks, ragged tail
+        enc = fast_frame.encode_fast(data)
+        assert fast_frame.decode_fast(enc) == data
+
+
+@needs_native
+class TestNativeParity:
+    @pytest.mark.parametrize("data", CASES, ids=["empty", "one", "rep", "cycle"])
+    def test_encode_byte_identical(self, data):
+        assert native_backend().encode_fast(data) == fast_frame.encode_fast(data)
+
+    def test_encode_byte_identical_corpus(self, metamorphosis):
+        assert (
+            native_backend().encode_fast(metamorphosis)
+            == fast_frame.encode_fast(metamorphosis)
+        )
+
+    def test_cross_decode(self, metamorphosis, rng):
+        sample = corpus_sample(metamorphosis, rng, 50000)
+        py_enc = fast_frame.encode_fast(sample)
+        assert native_backend().decode_fast(py_enc, len(sample)) == sample
+        nat_enc = native_backend().encode_fast(sample)
+        assert fast_frame.decode_fast(nat_enc) == sample
+
+    def test_native_parity_encoder_bit_exact(
+        self, golden_input, golden_compressed
+    ):
+        assert (
+            native_backend().encode_parity(golden_input) == golden_compressed
+        )
+
+    def test_native_rejects_bad_frame(self):
+        with pytest.raises(RuntimeError):
+            native_backend().decode_fast(b"\x00" * 24, 100)
+
+
+class TestCodecFastMode:
+    def test_roundtrip(self, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        assert codec.roundtrip(metamorphosis) == metamorphosis
+
+    def test_binary_roundtrip(self, rng):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        data = bytes(rng.integers(0, 256, size=200000, dtype=np.uint8))
+        assert codec.roundtrip(data) == data
+
+    def test_decode_dispatches_on_magic(self, golden_input, golden_compressed):
+        # One decode() entry point handles both wire formats.
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        assert codec.decode(golden_compressed) == golden_input
+        assert codec.decode(codec.encode(golden_input * 2)) == golden_input * 2
