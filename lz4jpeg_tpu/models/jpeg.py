@@ -101,6 +101,7 @@ class JPEGPipeline:
     """Batched encode/decode with jit-compiled transform stages."""
 
     def __init__(self, config: JPEGConfig = JPEGConfig()):
+        self._forward_rle = jax.jit(self._forward_rle_impl)
         if config.precision == "exact" and not jax.config.jax_enable_x64:
             # Without x64, float64 silently degrades to f32 and the pipeline
             # loses coefficient-exact parity — fail loudly instead.  Exact
@@ -144,6 +145,19 @@ class JPEGPipeline:
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
 
+    def _forward_rle_impl(self, rgb: jnp.ndarray):
+        """Forward returning only what ``encode`` ships to the host: RLE
+        pairs as int16 + lengths.  Host↔device bandwidth is the bottleneck
+        (HBM-vs-PCIe/tunnel, SURVEY.md §7), so the zigzag intermediates stay
+        on device and the pairs travel at half width — counts are ≤64 and
+        quantized coefficients are bounded by ±(8·128)/min(table) ≈ ±341,
+        both well inside int16."""
+        out = self._forward_impl(rgb)
+        return {
+            c: (v["rle"].astype(jnp.int16), v["rle_lengths"].astype(jnp.int32))
+            for c, v in out.items()
+        }
+
     def _inverse_impl(
         self,
         rle: Dict[str, jnp.ndarray],
@@ -180,16 +194,14 @@ class JPEGPipeline:
     def encode(self, rgb: np.ndarray, entropy: Optional[bool] = True) -> JPEGEncoded:
         h, w = rgb.shape[:2]
         bpc, bpr = -(-h // 8), -(-w // 8)
-        stages = jax.device_get(self._forward(jnp.asarray(rgb)))
+        slim = jax.device_get(self._forward_rle(jnp.asarray(rgb)))
         enc = JPEGEncoded(
             height=h,
             width=w,
             blocks_per_col=bpc,
             blocks_per_row=bpr,
-            rle={c: np.asarray(stages[c]["rle"]) for c in CHANNELS},
-            rle_lengths={
-                c: np.asarray(stages[c]["rle_lengths"]) for c in CHANNELS
-            },
+            rle={c: np.asarray(slim[c][0], dtype=np.int32) for c in CHANNELS},
+            rle_lengths={c: np.asarray(slim[c][1]) for c in CHANNELS},
         )
         if entropy:
             self.entropy_encode(enc)

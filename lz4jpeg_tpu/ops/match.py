@@ -115,9 +115,12 @@ def greedy_parse(best_len: jnp.ndarray, best_dist: jnp.ndarray):
                               jnp.where(is_match, dist, 0))
 
         p = lens.shape[0]
+        # Derive the carry init from the input so it picks up the same
+        # varying-manual-axes type under shard_map (see shard-map scan-vma).
+        init = (lens[0] * 0).astype(jnp.int32)
         _, (is_match, emit_len, emit_dist) = jax.lax.scan(
             step,
-            jnp.int32(0),
+            init,
             (jnp.arange(p, dtype=jnp.int32), lens, dists),
         )
         return is_match, emit_len, emit_dist

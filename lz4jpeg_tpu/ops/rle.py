@@ -24,28 +24,46 @@ import jax
 import jax.numpy as jnp
 
 
-def _rle_encode_one(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(L,) int32 → ((2L,) padded pairs, scalar valid length)."""
-    length = values.shape[0]
-    starts = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), values[1:] != values[:-1]]
-    )
-    run_id = jnp.cumsum(starts) - 1  # run index per element
-    counts = jnp.zeros(length, jnp.int32).at[run_id].add(1)
-    run_values = jnp.zeros(length, jnp.int32).at[run_id].set(values)
-    num_runs = jnp.sum(starts).astype(jnp.int32)
-    pairs = jnp.stack([counts, run_values], axis=1).reshape(2 * length)
-    valid = jnp.arange(2 * length) < 2 * num_runs
-    return jnp.where(valid, pairs, 0), 2 * num_runs
-
-
 def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(N, L) int32 blocks → ((N, 2L) padded [count,value] pairs, (N,) lengths).
 
     Values must already be integral (the reference compares after ``(int)``
     truncation; quantized coefficients are — truncate first if not).
+
+    Scatter-free formulation: run lengths come from a suffix-min over
+    boundary positions, and the compaction of per-start (count, value)
+    pairs into the first ``num_runs`` slots is a one-hot **einsum** over
+    the tiny L axis — batched matmuls the MXU eats, instead of the
+    per-row scatters that serialize on TPU (measured 60× slower).
     """
-    return jax.vmap(_rle_encode_one)(values.astype(jnp.int32))
+    x = values.astype(jnp.int32)
+    n, length = x.shape
+    idx = jnp.arange(length, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.bool_), x[:, 1:] != x[:, :-1]], axis=1
+    )
+    run_id = jnp.cumsum(starts, axis=1, dtype=jnp.int32) - 1  # (N, L)
+    # next boundary strictly after i (or L): suffix-min of boundary index.
+    bpos = jnp.where(starts, idx, length)
+    suffix = jax.lax.cummin(bpos[:, ::-1], axis=1)[:, ::-1]
+    nb = jnp.concatenate(
+        [suffix[:, 1:], jnp.full((n, 1), length, jnp.int32)], axis=1
+    )
+    run_len = nb - idx  # valid where starts
+    # one-hot compaction: slot k collects the start whose run_id == k.
+    onehot = (
+        (run_id[:, :, None] == idx[None, None, :]) & starts[:, :, None]
+    ).astype(jnp.float32)
+    counts = jnp.einsum(
+        "bil,bi->bl", onehot, run_len.astype(jnp.float32)
+    ).astype(jnp.int32)
+    run_values = jnp.einsum(
+        "bil,bi->bl", onehot, x.astype(jnp.float32)
+    ).astype(jnp.int32)
+    num_runs = jnp.sum(starts, axis=1, dtype=jnp.int32)
+    pairs = jnp.stack([counts, run_values], axis=2).reshape(n, 2 * length)
+    valid = jnp.arange(2 * length)[None, :] < (2 * num_runs)[:, None]
+    return jnp.where(valid, pairs, 0), 2 * num_runs
 
 
 def _rle_decode_one(pairs: jnp.ndarray, length: jnp.ndarray, out_size: int) -> jnp.ndarray:

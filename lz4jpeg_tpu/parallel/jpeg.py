@@ -1,0 +1,91 @@
+"""Sharded JPEG forward: the MCU axis distributed over the device mesh.
+
+The reference spawns one thread per 8×8 MCU, each running the whole
+DCT→quant→zigzag→RLE chain (``process``,
+``Algorithms/parallel/JPEG/JPEG.c:1103-1252``), then gathers by index — and
+loses the results to a pass-by-value bug (:1300).  Here the MCU batch is a
+sharded array: ``jit`` with sharding constraints lets XLA partition the
+batched einsum/VPU kernels across devices, and the "gather" is simply the
+output sharding — order is positional, a bug of this class cannot exist.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lz4jpeg_tpu.config import JPEGConfig
+from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr, split_mcus
+from lz4jpeg_tpu.ops.dct import dct2_batched
+from lz4jpeg_tpu.ops.quantize import (
+    CHROMINANCE_QUANTIZATION_TABLE,
+    LUMINANCE_QUANTIZATION_TABLE,
+    quantize,
+)
+from lz4jpeg_tpu.ops.rle import rle_encode_batched
+from lz4jpeg_tpu.ops.zigzag import zigzag
+from lz4jpeg_tpu.parallel.mesh import pad_to_devices
+
+_CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
+
+
+class ShardedJPEGForward:
+    """Forward transform with the MCU axis sharded over a mesh.
+
+    The color transform + MCU split run replicated (cheap, bandwidth-bound,
+    and dependent on full image rows); the per-MCU compute — DCT matmuls,
+    quantization, zigzag gather, RLE compaction — runs sharded.  Quant
+    tables are replicated constants (the reference's shared in-memory
+    tables, SURVEY.md §2.3).
+    """
+
+    def __init__(self, mesh: Mesh, config: JPEGConfig = JPEGConfig()):
+        self.mesh = mesh
+        self.config = config
+        axis = mesh.axis_names[0]
+        self._shard = NamedSharding(mesh, P(axis))
+        self._mcu_stage = jax.jit(
+            self._mcu_stage_impl,
+            in_shardings=(self._shard, self._shard, self._shard),
+            out_shardings=self._shard,
+        )
+
+    def _mcu_stage_impl(self, lum, r, b):
+        dtype = self.config.dtype
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
+            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+        }
+        out = {}
+        for name, tiles in (("lum", lum), ("r", r), ("b", b)):
+            h, w = _CHANNEL_SHAPES[name]
+            coeff = dct2_batched(tiles, dtype)
+            q = quantize(coeff, tables[name])
+            zz = zigzag(q, w, h)
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
+        return out
+
+    def __call__(self, rgb: np.ndarray) -> Tuple[Dict[str, Dict[str, np.ndarray]], int]:
+        """RGB image → per-channel sharded forward results.
+
+        Returns ``(stages, num_mcus)`` with padding rows (beyond
+        ``num_mcus``) still present in the arrays.
+        """
+        y, cr, cb = rgb_to_ycbcr(jnp.asarray(rgb), self.config.dtype)
+        lum, r, b = split_mcus(
+            y, chroma_subsample_422(cr), chroma_subsample_422(cb)
+        )
+        n_dev = self.mesh.devices.size
+        lum, n = pad_to_devices(np.asarray(lum), n_dev)
+        r, _ = pad_to_devices(np.asarray(r), n_dev)
+        b, _ = pad_to_devices(np.asarray(b), n_dev)
+        put = functools.partial(jax.device_put, device=self._shard)
+        stages = self._mcu_stage(put(lum), put(r), put(b))
+        return jax.device_get(stages), n

@@ -1,0 +1,82 @@
+"""Sharded LZ4 block parsing: blocks distributed over the device mesh.
+
+Replaces the reference's thread-per-block encode
+(``parallel_LZ4_encode``, ``Algorithms/parallel/LZ4/LZ4.c:680-779``): the
+block axis is sharded with ``shard_map``, each device runs the batched
+match-table + greedy-parse kernels on its shard, and the ordered gather of
+per-block parse results (``parallel_add_block_to_frame``'s
+``frame_blocks[index] = *block`` under a lock, :495-514) becomes an
+``all_gather`` over the mesh axis — lock-free and deterministic by
+construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from lz4jpeg_tpu.ops.match import greedy_parse, match_tables
+
+
+def sharded_block_parse(
+    blocks: np.ndarray, mesh: Mesh, max_match: int = 1024
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(B, P) padded int32 blocks → (is_match, emit_len, emit_dist).
+
+    ``B`` must be a multiple of the mesh size (see ``pad_to_devices``).
+    Each device parses its block shard independently; the results are
+    all-gathered so every host sees the full ordered arrays.
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(None, None),
+        # The all_gather output is identical on every device, but the vma
+        # checker cannot statically express "replicated after all_gather"
+        # in this JAX version — the equality is asserted by
+        # tests/test_parallel.py against the unsharded parse.
+        check_vma=False,
+    )
+    def parse_shard(shard):
+        best_len, best_dist = match_tables(shard, max_match=max_match)
+        is_match, emit_len, emit_dist = greedy_parse(best_len, best_dist)
+        stacked = jnp.stack(
+            [is_match.astype(jnp.int32), emit_len, emit_dist], axis=1
+        )
+        # Ordered gather: shard i lands at rows [i*shard_b, (i+1)*shard_b) —
+        # original block order, by construction.
+        return jax.lax.all_gather(stacked, axis, axis=0, tiled=True)
+
+    gathered = np.asarray(jax.jit(parse_shard)(jnp.asarray(blocks)))
+    return gathered[:, 0].astype(bool), gathered[:, 1], gathered[:, 2]
+
+
+def sharded_compressed_sizes(
+    emit_len: np.ndarray, is_match: np.ndarray, mesh: Mesh
+) -> np.ndarray:
+    """Per-block serialized sequence-count estimate via a sharded reduction.
+
+    Demonstrates the replicated-reduction path (``psum``) the multi-host
+    frame writer uses to pre-size the output stream before the payload
+    gather.  Returns the total number of match sequences per shard, summed
+    over the mesh.
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P()
+    )
+    def count(shard_matches):
+        local = jnp.sum(shard_matches.astype(jnp.int32))
+        return jax.lax.psum(local, axis)
+
+    return np.asarray(jax.jit(count)(jnp.asarray(is_match)))

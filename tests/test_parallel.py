@@ -1,0 +1,112 @@
+"""Sharded paths on a virtual 8-device CPU mesh (conftest sets it up)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.config import JPEGConfig, MeshConfig
+from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+from lz4jpeg_tpu.oracle import jpeg_oracle as oracle
+from lz4jpeg_tpu.ops.match import match_tables, greedy_parse, pad_blocks
+from lz4jpeg_tpu.parallel import (
+    ShardedJPEGForward,
+    codec_mesh,
+    pad_to_devices,
+    sharded_block_parse,
+)
+from lz4jpeg_tpu.parallel.lz4 import sharded_compressed_sizes
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return codec_mesh(MeshConfig())
+
+
+class TestMesh:
+    def test_uses_all_devices(self, mesh):
+        assert mesh.devices.size == len(jax.devices()) == 8
+
+    def test_subset(self):
+        m = codec_mesh(MeshConfig(num_devices=4))
+        assert m.devices.size == 4
+
+    def test_too_many_devices_rejected(self):
+        with pytest.raises(ValueError):
+            codec_mesh(MeshConfig(num_devices=1000))
+
+    def test_pad_to_devices(self):
+        batch = np.ones((10, 3))
+        padded, n = pad_to_devices(batch, 8)
+        assert padded.shape == (16, 3) and n == 10
+        exact, n2 = pad_to_devices(np.ones((16, 3)), 8)
+        assert exact.shape == (16, 3) and n2 == 16
+
+
+class TestShardedJPEG:
+    @pytest.mark.parametrize("size", [16, 32])
+    def test_matches_single_device_pipeline(self, rng, mesh, size):
+        img = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        sharded = ShardedJPEGForward(mesh, JPEGConfig(precision="exact"))
+        stages, n = sharded(img)
+        ref = oracle.jpeg_forward_oracle(img, snap_ties=True)
+        np.testing.assert_array_equal(stages["lum"]["zz"][:n], ref["zz_lum"])
+        np.testing.assert_array_equal(stages["r"]["zz"][:n], ref["zz_r"])
+        for i in range(n):
+            ln = int(stages["lum"]["rle_lengths"][i])
+            assert list(stages["lum"]["rle"][i][:ln]) == ref["rle_lum"][i]
+
+    def test_output_is_sharded(self, rng, mesh):
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        sharded = ShardedJPEGForward(mesh, JPEGConfig(precision="exact"))
+        # Peek at the on-device layout before device_get.
+        y_cr_cb = sharded._mcu_stage.lower(
+            jax.ShapeDtypeStruct((16, 8, 8), "uint8"),
+            jax.ShapeDtypeStruct((16, 8, 4), "uint8"),
+            jax.ShapeDtypeStruct((16, 8, 4), "uint8"),
+        ).compile()
+        shardings = y_cr_cb.output_shardings
+        spec = shardings["lum"]["zz"].spec
+        assert spec[0] == mesh.axis_names[0]
+
+
+class TestShardedLZ4:
+    def test_matches_unsharded_parse(self, mesh, metamorphosis):
+        text = metamorphosis[:4800].replace(b"\r", b" ").replace(b"\n", b" ")
+        padded, lengths = pad_blocks(text, 300)
+        padded, n = pad_to_devices(padded, mesh.devices.size, pad_value=-1)
+        is_match, emit_len, emit_dist = sharded_block_parse(padded, mesh)
+        bl, bd = match_tables(jax.numpy.asarray(padded))
+        ref_m, ref_l, ref_d = jax.device_get(greedy_parse(bl, bd))
+        np.testing.assert_array_equal(is_match, ref_m.astype(bool))
+        np.testing.assert_array_equal(emit_len, ref_l)
+        np.testing.assert_array_equal(emit_dist, ref_d)
+
+    def test_psum_counts(self, mesh, metamorphosis):
+        text = metamorphosis[:4800].replace(b"\r", b" ").replace(b"\n", b" ")
+        padded, _ = pad_blocks(text, 300)
+        padded, _ = pad_to_devices(padded, mesh.devices.size, pad_value=-1)
+        is_match, emit_len, _ = sharded_block_parse(padded, mesh)
+        total = sharded_compressed_sizes(emit_len, is_match, mesh)
+        assert int(total) == int(is_match.sum())
+        assert int(total) > 0
+
+
+class TestShardedEndToEnd:
+    def test_full_encode_via_sharded_parse(self, mesh, golden_input, golden_compressed):
+        """The sharded parse feeds the same serializer → bit-exact frame."""
+        from lz4jpeg_tpu.models.lz4 import _build_sequences
+        from lz4jpeg_tpu.formats import pack_frame
+
+        padded, lengths = pad_blocks(golden_input, 300)
+        padded_b, n = pad_to_devices(padded, mesh.devices.size, pad_value=-1)
+        is_match, emit_len, emit_dist = sharded_block_parse(padded_b, mesh)
+        blocks = []
+        for bi in range(n):
+            ln = int(lengths[bi])
+            block_bytes = bytes(padded[bi, :ln].astype(np.uint8))
+            blocks.append(
+                _build_sequences(
+                    block_bytes, is_match[bi], emit_len[bi], emit_dist[bi], ln
+                )
+            )
+        assert pack_frame(blocks) == golden_compressed
