@@ -40,6 +40,7 @@ from lz4jpeg_tpu.ops.color import (
     ycbcr_to_rgb_mcus,
 )
 from lz4jpeg_tpu.ops.dct import dct2_batched, idct2_batched
+from lz4jpeg_tpu.ops.fused import fused_forward_jnp, fused_inverse_jnp
 from lz4jpeg_tpu.ops.huffman import (
     CanonicalCodebook,
     build_canonical_codebook,
@@ -124,23 +125,32 @@ class JPEGPipeline:
 
     def _forward_impl(self, rgb: jnp.ndarray):
         """RGB (H, W, 3) uint8 → per-channel quantized zigzag streams and
-        padded RLE pairs.  Mirrors JPEG.c main():1103-1220."""
+        padded RLE pairs.  Mirrors JPEG.c main():1103-1220.
+
+        Fast mode runs the per-MCU chain as the single fused matmul of
+        ``ops/fused.py`` (DCT+quant+zigzag in one MXU pass); exact mode
+        keeps the staged f64 path that is oracle-exact stage by stage.
+        """
         dtype = self.config.dtype
+        fused = self.config.precision == "fast"
         y, cr, cb = rgb_to_ycbcr(rgb, dtype)
         cr_sub = chroma_subsample_422(cr)
         cb_sub = chroma_subsample_422(cb)
         lum, r, b = split_mcus(y, cr_sub, cb_sub)
         out = {}
         tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
-            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
-            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
         }
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             h, w = _CHANNEL_SHAPES[name]
-            coeff = dct2_batched(tiles, dtype)
-            q = quantize(coeff, tables[name])
-            zz = zigzag(q, w, h)
+            if fused:
+                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
+            else:
+                coeff = dct2_batched(tiles, dtype)
+                q = quantize(coeff, tables[name].reshape(h, w))
+                zz = zigzag(q, w, h)
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
@@ -171,18 +181,24 @@ class JPEGPipeline:
         """Padded RLE pairs → reconstructed RGB.  Mirrors the inverse chain
         JPEG.c:1348-1428."""
         dtype = self.config.dtype
+        fused = self.config.precision == "fast"
         tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
-            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
-            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
         }
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
             zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
-            blocks = reverse_zigzag(zz.astype(dtype), w, h)
-            deq = dequantize(blocks.reshape(-1, h, w), tables[name])
-            rec[name] = idct2_batched(deq, dtype)
+            if fused:
+                rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
+            else:
+                blocks = reverse_zigzag(zz.astype(dtype), w, h)
+                deq = dequantize(
+                    blocks.reshape(-1, h, w), tables[name].reshape(h, w)
+                )
+                rec[name] = idct2_batched(deq, dtype)
         return ycbcr_to_rgb_mcus(
             rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
         )

@@ -1,0 +1,122 @@
+"""Fused MCU transforms: the whole per-block JPEG chain as one matmul.
+
+The reference runs DCT (quadruple loop with on-the-fly ``cos``), quantize,
+and zigzag as three separate per-block passes (JPEG.c:451-494, :621-629,
+:693-728).  Because every stage is linear (or a static permutation) up to
+the final truncation, the *entire* chain folds into a single matrix:
+
+    M[k, (x,y)] = alpha_u * alpha_v * cos_u[u,x] * cos_v[v,y] / table[u,v]
+    with (u,v) = zigzag⁻¹(k)
+    out_zz[k]   = trunc( X_flat @ Mᵀ  -  128 * Σ_xy M[k] )
+
+i.e. one (N, 64) × (64, 64) matmul + a per-column offset + truncation — the
+MXU's favorite shape, replacing DCT + quantize + zigzag entirely.  The
+inverse chain (reverse zigzag → dequantize → IDCT → +128 → round/clamp)
+folds the same way.
+
+This module holds the basis construction and the jnp implementation (used
+on any backend); ``ops/pallas_mcu.py`` wraps the same basis in a Pallas
+TPU kernel.  Parity: the fused f32 path agrees with the staged f64 exact
+path *after quantization* on noise inputs (tested); the staged path
+remains the oracle-exact reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from lz4jpeg_tpu.oracle.jpeg_oracle import zigzag_indices
+
+
+def _cos_basis(n: int) -> np.ndarray:
+    u = np.arange(n, dtype=np.float64)[:, None]
+    x = np.arange(n, dtype=np.float64)[None, :]
+    return np.cos(np.pi * (2 * x + 1) * u / (2.0 * n))
+
+
+def _alpha(n: int) -> np.ndarray:
+    a = np.full(n, np.sqrt(2.0 / n))
+    a[0] = np.sqrt(1.0 / n)
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def forward_basis(width: int, height: int, table_key: bytes):
+    """(M, offset): fused DCT+quant+zigzag as (HW, HW) matrix + (HW,) offset.
+
+    ``out_zz = trunc(X_flat @ M.T - offset)`` for X_flat row-major uint8.
+    """
+    table = np.frombuffer(table_key, dtype=np.int64).astype(np.float64)
+    cu, cv = _cos_basis(height), _cos_basis(width)
+    au, av = _alpha(height), _alpha(width)
+    # full[(u,v), (x,y)] = au[u] av[v] cu[u,x] cv[v,y] / table[u,v]
+    scale = np.outer(au, av).reshape(-1) / table  # (HW,) over (u,v)
+    kron = np.einsum("ux,vy->uvxy", cu, cv).reshape(
+        height * width, height * width
+    )
+    full = scale[:, None] * kron
+    zz = zigzag_indices(width, height)
+    m = full[zz]  # rows permuted into zigzag order
+    offset = 128.0 * m.sum(axis=1)
+    return m, offset
+
+
+@functools.lru_cache(maxsize=None)
+def inverse_basis(width: int, height: int, table_key: bytes):
+    """(Minv): fused reverse-zigzag+dequant+IDCT as an (HW, HW) matrix.
+
+    ``pixels = clamp(round(Q_zz @ Minv.T + 128))`` for zigzag-ordered
+    quantized coefficients.
+    """
+    table = np.frombuffer(table_key, dtype=np.int64).astype(np.float64)
+    cu, cv = _cos_basis(height), _cos_basis(width)
+    au, av = _alpha(height), _alpha(width)
+    scale = np.outer(au, av).reshape(-1) * table  # dequant folded in
+    kron = np.einsum("ux,vy->xyuv", cu, cv).reshape(
+        height * width, height * width
+    )
+    full = kron * scale[None, :]  # [(x,y), (u,v)]
+    zz = zigzag_indices(width, height)
+    return full[:, zz]  # columns permuted: input arrives in zigzag order
+
+
+def _table_key(table: np.ndarray) -> bytes:
+    return np.ascontiguousarray(table, dtype=np.int64).tobytes()
+
+
+def fused_forward_jnp(
+    tiles: jnp.ndarray, table: np.ndarray, width: int, height: int,
+    dtype=jnp.float32, snap_eps: float = 1e-5,
+) -> jnp.ndarray:
+    """(N, H, W) uint8 tiles → (N, HW) quantized zigzag coefficients.
+
+    Truncation toward zero with tie snapping (see ``ops/quantize.py``):
+    ratios within ``snap_eps`` of an integer snap first, making the f32
+    fused path agree with the staged f64 exact path away from pathological
+    inputs (tested on noise).
+    """
+    m, off = forward_basis(width, height, _table_key(table))
+    n = tiles.shape[0]
+    x = tiles.reshape(n, height * width).astype(dtype)
+    ratio = x @ jnp.asarray(m.T, dtype) - jnp.asarray(off, dtype)
+    nearest = jnp.round(ratio)
+    ratio = jnp.where(jnp.abs(ratio - nearest) <= snap_eps, nearest, ratio)
+    return jnp.trunc(ratio)
+
+
+def fused_inverse_jnp(
+    zz: jnp.ndarray, table: np.ndarray, width: int, height: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(N, HW) zigzag quantized coefficients → (N, H, W) uint8 pixels."""
+    minv = inverse_basis(width, height, _table_key(table))
+    n = zz.shape[0]
+    pix = zz.astype(dtype) @ jnp.asarray(minv.T, dtype) + 128.0
+    # C round(): half away from zero (JPEG.c:443).
+    rounded = jnp.sign(pix) * jnp.floor(jnp.abs(pix) + 0.5)
+    return (
+        jnp.clip(rounded, 0, 255).astype(jnp.uint8).reshape(n, height, width)
+    )

@@ -1,0 +1,127 @@
+"""Fused single-matmul MCU transform vs the staged pipeline and oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.ops.dct import dct2_batched, idct2_batched
+from lz4jpeg_tpu.ops.fused import fused_forward_jnp, fused_inverse_jnp
+from lz4jpeg_tpu.ops.pallas_mcu import (
+    fused_forward_pallas,
+    fused_inverse_pallas,
+)
+from lz4jpeg_tpu.ops.quantize import (
+    CHROMINANCE_QUANTIZATION_TABLE,
+    LUMINANCE_QUANTIZATION_TABLE,
+    dequantize,
+    quantize,
+)
+from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
+
+
+def _table(w):
+    return (
+        LUMINANCE_QUANTIZATION_TABLE
+        if w == 8
+        else CHROMINANCE_QUANTIZATION_TABLE
+    )
+
+
+def staged_forward(tiles, w, h, dtype):
+    table = _table(w).reshape(h, w)
+    q = quantize(dct2_batched(jnp.asarray(tiles), dtype), table)
+    return np.asarray(zigzag(q, w, h))
+
+
+class TestFusedForward:
+    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
+    def test_matches_staged_f64(self, rng, w, h):
+        tiles = rng.integers(0, 256, size=(64, h, w), dtype=np.uint8)
+        fused = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float64)
+        )
+        np.testing.assert_array_equal(
+            fused, staged_forward(tiles, w, h, jnp.float64)
+        )
+
+    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
+    def test_f32_matches_f64(self, rng, w, h):
+        tiles = rng.integers(0, 256, size=(128, h, w), dtype=np.uint8)
+        f32 = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float32)
+        )
+        f64 = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float64)
+        )
+        np.testing.assert_array_equal(f32, f64)
+
+    def test_solid_blocks(self):
+        tiles = np.full((4, 8, 8), 128, dtype=np.uint8)
+        fused = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(8), 8, 8)
+        )
+        np.testing.assert_array_equal(fused, 0)
+
+
+class TestFusedInverse:
+    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
+    def test_matches_staged_f64(self, rng, w, h):
+        tiles = rng.integers(0, 256, size=(32, h, w), dtype=np.uint8)
+        zz = fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float64)
+        fused = np.asarray(
+            fused_inverse_jnp(zz, _table(w), w, h, jnp.float64)
+        )
+        table = _table(w).reshape(h, w)
+        staged = np.asarray(
+            idct2_batched(
+                dequantize(
+                    reverse_zigzag(zz.astype(jnp.float64), w, h).reshape(
+                        -1, h, w
+                    ),
+                    table,
+                ),
+                jnp.float64,
+            )
+        )
+        np.testing.assert_array_equal(fused, staged)
+
+
+class TestPallasKernel:
+    """Interpret mode on CPU; the compiled path is exercised on TPU by
+    bench.py and the pipeline integration."""
+
+    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
+    def test_forward_matches_jnp(self, rng, w, h):
+        tiles = rng.integers(0, 256, size=(700, h, w), dtype=np.uint8)
+        ours = np.asarray(
+            fused_forward_pallas(
+                jnp.asarray(tiles), _table(w), w, h, interpret=True
+            )
+        )
+        ref = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float32)
+        )
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
+    def test_inverse_matches_jnp(self, rng, w, h):
+        tiles = rng.integers(0, 256, size=(700, h, w), dtype=np.uint8)
+        zz = fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float32)
+        ours = np.asarray(
+            fused_inverse_pallas(zz, _table(w), w, h, interpret=True)
+        )
+        ref = np.asarray(fused_inverse_jnp(zz, _table(w), w, h, jnp.float32))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_ragged_grid_tail(self, rng):
+        # N not a multiple of BLOCK_N exercises the padded last grid step.
+        tiles = rng.integers(0, 256, size=(5, 8, 8), dtype=np.uint8)
+        ours = np.asarray(
+            fused_forward_pallas(
+                jnp.asarray(tiles), _table(8), 8, 8, interpret=True
+            )
+        )
+        ref = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), _table(8), 8, 8, jnp.float32)
+        )
+        np.testing.assert_array_equal(ours, ref)
