@@ -1,0 +1,119 @@
+"""Full experiment sweeps mirroring the reference harness (SURVEY.md §3.5).
+
+* LZ4: text sizes {350, 500, 1k, 2k, 5k, 10k, 15k, 20k, 25k, 30k}
+  (``Experiment/LZ4_sequential_experiment.c:60``), random Metamorphosis
+  passages, 10 runs each, trimmed mean + median → JSON shaped like
+  ``Experiment/results/LZ4_seq.exe_execution_times.json``.
+* JPEG: square noise images 2^0 … 2^11 per side
+  (``Experiment/JPEG_sequential_experiment.c:7-8``), full encode→decode
+  round trip per run.
+
+Unlike the reference, which timed whole child processes (~48 ms launch
+floor in every number), these time the library calls directly; the JSON
+keeps the reference's field names (``text`` / ``image_size``,
+``execution_times``, ``mean``, ``median``) plus derived throughput.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import numpy as np
+
+from lz4jpeg_tpu.bench.harness import BenchResult, run_timed
+from lz4jpeg_tpu.utils.inputs import (
+    extract_random_passage,
+    generate_noise_image,
+    load_corpus,
+)
+
+LZ4_SIZES = [350, 500, 1000, 2000, 5000, 10000, 15000, 20000, 25000, 30000]
+JPEG_SIZES = [2 ** i for i in range(12)]
+
+
+def run_lz4_experiment(
+    sizes: Optional[List[int]] = None,
+    runs: int = 10,
+    mode: str = "parity",
+    output: Optional[str] = None,
+    seed: int = 0,
+) -> List[BenchResult]:
+    from lz4jpeg_tpu.config import LZ4Config
+    from lz4jpeg_tpu.models.lz4 import LZ4Codec
+
+    corpus = load_corpus()
+    rng = np.random.default_rng(seed)
+    codec = LZ4Codec(LZ4Config(mode=mode))
+    results = []
+    for size in sizes or LZ4_SIZES:
+        text = extract_random_passage(corpus, size, rng)
+
+        def step():
+            assert codec.decode(codec.encode(text)) == text
+
+        r = run_timed(
+            f"lz4_{mode}", step, scale=size, runs=runs,
+            work=size / 1e6, work_unit="MB",
+        )
+        results.append(r)
+        print(
+            f"lz4 {mode} {size:>6} B: mean {r.mean_s*1e3:.2f} ms "
+            f"({r.throughput:.2f} MB/s)"
+        )
+    if output:
+        _write_reference_schema(output, results, "text")
+    return results
+
+
+def run_jpeg_experiment(
+    sizes: Optional[List[int]] = None,
+    runs: int = 10,
+    precision: str = "fast",
+    output: Optional[str] = None,
+    seed: int = 0,
+) -> List[BenchResult]:
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+    rng = np.random.default_rng(seed)
+    pipeline = JPEGPipeline(JPEGConfig(precision=precision, entropy="shared"))
+    results = []
+    for size in sizes or JPEG_SIZES:
+        img = generate_noise_image(size, size, rng)
+
+        def step():
+            pipeline.decode(pipeline.encode(img))
+
+        r = run_timed(
+            f"jpeg_{precision}", step, scale=size, runs=runs,
+            work=size * size / 1e6, work_unit="MPix",
+        )
+        results.append(r)
+        print(
+            f"jpeg {precision} {size:>5}²: mean {r.mean_s*1e3:.2f} ms "
+            f"({r.throughput:.3f} MPix/s)"
+        )
+    if output:
+        _write_reference_schema(output, results, "image_size")
+    return results
+
+
+def _write_reference_schema(
+    path: str, results: List[BenchResult], scale_key: str
+) -> None:
+    """The reference's results-file shape
+    (``Experiment/results/*.json``), one entry per scale."""
+    payload = [
+        {
+            scale_key: r.scale,
+            "execution_times": r.times_s,
+            "mean": r.mean_s,
+            "median": r.median_s,
+            "throughput": r.throughput,
+            "throughput_unit": r.throughput_unit,
+        }
+        for r in results
+    ]
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)

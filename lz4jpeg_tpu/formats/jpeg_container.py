@@ -1,0 +1,103 @@
+"""Serializable container for JPEG-pipeline encodes.
+
+The reference can never persist an encode: its per-block Huffman trees are
+rebuilt in memory and shared between its encoder and decoder halves, and no
+code table is ever written (SURVEY.md §2.2.8).  The framework's shared-
+codebook entropy mode is serializable by construction — this module defines
+the wire format:
+
+    Container := magic:u32le ("TJPG") version:u8 reserved:u8
+                 height:u32le width:u32le
+                 Channel["lum"] Channel["r"] Channel["b"]
+    Channel   := codebook_len:u32le codebook (see CanonicalCodebook)
+                 nbits:u32le packed_len:u32le packed bytes
+
+Decode needs nothing else: block boundaries are recovered from the RLE
+counts (each block's pair counts sum to its coefficient count).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from lz4jpeg_tpu.ops.huffman import CanonicalCodebook
+
+if TYPE_CHECKING:
+    from lz4jpeg_tpu.models.jpeg import JPEGEncoded
+
+MAGIC = 0x47504A54  # "TJPG"
+VERSION = 1
+
+
+class JPEGContainerError(ValueError):
+    pass
+
+
+def pack_container(enc: "JPEGEncoded") -> bytes:
+    if enc.entropy_mode != "shared":
+        raise JPEGContainerError(
+            "only shared-codebook encodes are serializable; re-encode with "
+            'entropy="shared" (per-block trees are in-memory parity '
+            "artifacts, like the reference)"
+        )
+    out = bytearray()
+    out += struct.pack("<IBBII", MAGIC, VERSION, 0, enc.height, enc.width)
+    for c in ("lum", "r", "b"):
+        codebook, packed, nbits = enc.shared_streams[c]
+        blob = codebook.serialize()
+        out += struct.pack("<I", len(blob))
+        out += blob
+        out += struct.pack("<II", nbits, len(packed))
+        out += packed
+    return bytes(out)
+
+
+def unpack_container(data: bytes) -> "JPEGEncoded":
+    from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES, JPEGEncoded, _split_symbols
+    from lz4jpeg_tpu.ops.huffman import unpack_symbols
+
+    if len(data) < 14:
+        raise JPEGContainerError("container too short")
+    magic, version, _res, height, width = struct.unpack_from("<IBBII", data, 0)
+    if magic != MAGIC:
+        raise JPEGContainerError("bad magic")
+    if version != VERSION:
+        raise JPEGContainerError(f"unsupported version {version}")
+    p = 14
+    bpc, bpr = -(-height // 8), -(-width // 8)
+    num_blocks = bpc * bpr
+    shared = {}
+    rle = {}
+    lengths = {}
+    for c in ("lum", "r", "b"):
+        (blob_len,) = struct.unpack_from("<I", data, p)
+        p += 4
+        codebook, _ = CanonicalCodebook.deserialize(data[p : p + blob_len])
+        p += blob_len
+        nbits, packed_len = struct.unpack_from("<II", data, p)
+        p += 8
+        packed = data[p : p + packed_len]
+        p += packed_len
+        shared[c] = (codebook, packed, nbits)
+        symbols = unpack_symbols(packed, nbits, codebook)
+        h, w = _CHANNEL_SHAPES[c]
+        rle[c], lengths[c] = _split_symbols(symbols, num_blocks, 2 * h * w, h * w)
+    if p != len(data):
+        raise JPEGContainerError("trailing bytes after container")
+    return JPEGEncoded(
+        height=height,
+        width=width,
+        blocks_per_col=bpc,
+        blocks_per_row=bpr,
+        rle={c: np.asarray(v) for c, v in rle.items()},
+        rle_lengths={c: np.asarray(v) for c, v in lengths.items()},
+        entropy_mode="shared",
+        shared_streams=shared,
+    )
+
+
+def is_jpeg_container(data: bytes) -> bool:
+    return len(data) >= 4 and struct.unpack_from("<I", data, 0)[0] == MAGIC

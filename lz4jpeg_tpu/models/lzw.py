@@ -27,11 +27,17 @@ from __future__ import annotations
 from typing import Dict, List
 
 # Reference base alphabet (LZW.c:228-235): 110 explicit entries + 18 NULs.
+# The patterns are C strings, so the '\0' entry at index 0 *is* the empty
+# string — as are the 18 zero-padded tail slots.  ``dictionarySearch``'s
+# linear scan therefore resolves both "" and any padding hit to index 0,
+# which is what the encoder emits for the initial empty ``w`` when the
+# first character is out-of-alphabet.
 _BASE_CHARS = (
-    [bytes([i]) for i in range(14)]           # '\0'..'\r'
-    + [bytes([i]) for i in range(32, 127)]    # ' '..'~'
+    [b""]                                      # '\0' == empty C string
+    + [bytes([i]) for i in range(1, 14)]       # '\1'..'\r'
+    + [bytes([i]) for i in range(32, 127)]     # ' '..'~'
     + [b"\x7f"]                                # '\177'
-    + [b"\x00"] * 18                           # zero-padded tail
+    + [b""] * 18                               # zero-padded tail
 )
 
 

@@ -1,0 +1,196 @@
+"""Utils (I/O, metrics, visualization) and the CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.cli import main as cli_main
+from lz4jpeg_tpu.formats.jpeg_container import (
+    is_jpeg_container,
+    pack_container,
+    unpack_container,
+)
+from lz4jpeg_tpu.utils.io import (
+    binary_string,
+    dump_to_hex_file,
+    hex_dump,
+    read_png,
+    write_png,
+    write_text_rendering,
+)
+from lz4jpeg_tpu.utils.inputs import extract_random_passage, generate_noise_image
+from lz4jpeg_tpu.utils.metrics import mse, mse_rgb, psnr
+from lz4jpeg_tpu.utils.visualize import (
+    b_chrominance_image,
+    luminance_image,
+    r_chrominance_image,
+)
+
+
+class TestIO:
+    def test_hex_dump_matches_reference_format(self):
+        # "%02X " per byte (LZ4.c:100-103), trailing space included.
+        assert hex_dump(b"\x02\x0d\x40") == "02 0D 40 "
+
+    def test_dump_to_hex_file(self, tmp_path, golden_compressed):
+        src = tmp_path / "c.bin"
+        src.write_bytes(golden_compressed)
+        out = tmp_path / "compressed.txt"
+        dump_to_hex_file(str(src), str(out))
+        assert out.read_text().startswith("02 0D 40 01 F1 2C 00 17 ")
+
+    def test_binary_string(self):
+        assert binary_string(0xF1) == "11110001"
+
+    def test_png_roundtrip(self, tmp_path, rng):
+        img = generate_noise_image(16, 24, rng)
+        p = tmp_path / "x.png"
+        write_png(str(p), img)
+        np.testing.assert_array_equal(read_png(str(p)), img)
+
+    def test_text_rendering(self, tmp_path):
+        p = tmp_path / "out.txt"
+        write_text_rendering(str(p), b"ab\x00c\xff")
+        assert p.read_bytes() == b"ab0x00c0xFF"
+
+
+class TestInputs:
+    def test_passage_is_printable(self, metamorphosis, rng):
+        text = extract_random_passage(metamorphosis, 5000, rng)
+        assert len(text) == 5000
+        assert b"\n" not in text and b"\r" not in text
+
+    def test_passage_too_long_rejected(self, metamorphosis, rng):
+        with pytest.raises(ValueError):
+            extract_random_passage(metamorphosis, 10**9, rng)
+
+
+class TestMetrics:
+    def test_mse_zero_on_identical(self, rng):
+        img = generate_noise_image(8, 8, rng)
+        assert mse_rgb(img, img) == 0.0
+        assert psnr(img, img) == float("inf")
+
+    def test_reference_mse_uses_red_channel(self):
+        plane = np.full((4, 4), 100, np.uint8)
+        rec = np.zeros((4, 4, 3), np.uint8)
+        rec[..., 0] = 90
+        assert mse(plane, rec) == 100.0
+
+
+class TestVisualize:
+    def test_luminance_is_gray(self, rng):
+        y = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+        img = luminance_image(y)
+        np.testing.assert_array_equal(img[..., 0], y)
+        np.testing.assert_array_equal(img[..., 1], y)
+
+    def test_chroma_neutral_at_128(self):
+        v = np.full((2, 2), 128, np.uint8)
+        np.testing.assert_array_equal(r_chrominance_image(v), 128)
+        np.testing.assert_array_equal(b_chrominance_image(v), 128)
+
+
+class TestJPEGContainer:
+    def test_roundtrip(self, rng):
+        from lz4jpeg_tpu.config import JPEGConfig
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        pipeline = JPEGPipeline(JPEGConfig(precision="exact", entropy="shared"))
+        img = generate_noise_image(16, 16, rng)
+        enc = pipeline.encode(img)
+        blob = pack_container(enc)
+        assert is_jpeg_container(blob)
+        dec = unpack_container(blob)
+        assert (dec.height, dec.width) == (16, 16)
+        for c in ("lum", "r", "b"):
+            np.testing.assert_array_equal(dec.rle[c], enc.rle[c])
+            np.testing.assert_array_equal(dec.rle_lengths[c], enc.rle_lengths[c])
+        np.testing.assert_array_equal(
+            pipeline.decode(dec), pipeline.decode(enc)
+        )
+
+    def test_per_block_not_serializable(self, rng):
+        from lz4jpeg_tpu.config import JPEGConfig
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        pipeline = JPEGPipeline(
+            JPEGConfig(precision="exact", entropy="per_block")
+        )
+        enc = pipeline.encode(generate_noise_image(8, 8, rng))
+        with pytest.raises(ValueError):
+            pack_container(enc)
+
+
+class TestCLI:
+    def test_lz4_roundtrip_files(self, tmp_path, golden_input):
+        src = tmp_path / "in.txt"
+        src.write_bytes(golden_input)
+        comp = tmp_path / "out.bin"
+        hexf = tmp_path / "compressed.txt"
+        rc = cli_main(
+            ["lz4", "encode", str(src), str(comp), "--mode", "parity",
+             "--hexdump", str(hexf)]
+        )
+        assert rc == 0 and hexf.exists()
+        dec = tmp_path / "dec.txt"
+        assert cli_main(["lz4", "decode", str(comp), str(dec)]) == 0
+        assert dec.read_bytes() == golden_input
+
+    def test_jpeg_encode_decode_files(self, tmp_path, rng):
+        src = tmp_path / "in.png"
+        write_png(str(src), generate_noise_image(16, 16, rng))
+        cont = tmp_path / "img.tjpg"
+        assert cli_main(["jpeg", "encode", str(src), str(cont)]) == 0
+        out = tmp_path / "out.png"
+        assert cli_main(["jpeg", "decode", str(cont), str(out)]) == 0
+        assert read_png(str(out)).shape == (16, 16, 3)
+
+    def test_jpeg_roundtrip_with_viz_and_mse(self, tmp_path, rng, capsys):
+        src = tmp_path / "in.png"
+        write_png(str(src), generate_noise_image(16, 16, rng))
+        out = tmp_path / "rec.png"
+        viz = tmp_path / "viz"
+        rc = cli_main(
+            ["jpeg", "roundtrip", str(src), str(out), "--visualize",
+             str(viz), "--mse"]
+        )
+        assert rc == 0
+        assert (viz / "luminance.png").exists()
+        assert (viz / "rChrominance.png").exists()
+        assert "PSNR" in capsys.readouterr().out
+
+    def test_lzw_files(self, tmp_path):
+        src = tmp_path / "in.txt"
+        src.write_bytes(b"to be or not to be")
+        enc = tmp_path / "out.lzw"
+        assert cli_main(["lzw", "encode", str(src), str(enc)]) == 0
+        dec = tmp_path / "dec.txt"
+        assert cli_main(["lzw", "decode", str(enc), str(dec)]) == 0
+        assert dec.read_bytes() == b"to be or not to be"
+
+
+class TestExperiments:
+    def test_lz4_sweep_writes_reference_schema(self, tmp_path):
+        from lz4jpeg_tpu.bench.experiments import run_lz4_experiment
+
+        out = tmp_path / "r.json"
+        results = run_lz4_experiment(
+            sizes=[350, 500], runs=3, output=str(out)
+        )
+        assert len(results) == 2
+        payload = json.loads(out.read_text())
+        assert payload[0]["text"] == 350
+        assert len(payload[0]["execution_times"]) == 3
+        assert payload[0]["mean"] > 0
+
+    def test_jpeg_sweep(self, tmp_path):
+        from lz4jpeg_tpu.bench.experiments import run_jpeg_experiment
+
+        out = tmp_path / "j.json"
+        results = run_jpeg_experiment(sizes=[8, 16], runs=2, output=str(out))
+        assert len(results) == 2
+        payload = json.loads(out.read_text())
+        assert payload[1]["image_size"] == 16
