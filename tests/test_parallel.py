@@ -110,3 +110,23 @@ class TestShardedEndToEnd:
                 )
             )
         assert pack_frame(blocks) == golden_compressed
+
+
+class TestMultihost:
+    def test_initialize_single_process(self):
+        from lz4jpeg_tpu.parallel.multihost import initialize
+
+        assert initialize() == 1
+
+    def test_ordered_gather_single_process(self):
+        from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+        payloads = [b"bb", b"a", b"cccc"]
+        out = ordered_allgather_payloads(payloads, [1, 0, 2], 3)
+        assert out == [b"a", b"bb", b"cccc"]
+
+    def test_missing_block_detected(self):
+        from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+        with pytest.raises(ValueError):
+            ordered_allgather_payloads([b"x"], [0], 2)
