@@ -23,11 +23,17 @@ import sys
 
 
 def main() -> None:
-    # Persistent compilation cache: first round pays ~30 s of XLA compile,
-    # later invocations hit the cache.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lz4jpeg_jax_cache")
-
     import jax
+
+    # Persistent compilation cache: first invocation pays ~30 s of XLA
+    # compile, later ones hit the cache.  The config API is used because
+    # the session preloads jax before this file runs, so the env var would
+    # be read too late.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lz4jpeg_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -57,19 +57,24 @@ inline void put64(std::vector<uint8_t>& out, uint64_t v) {
   for (int i = 0; i < 8; ++i) out.push_back((v >> (8 * i)) & 0xFF);
 }
 
-void emit_ext(std::vector<uint8_t>& out, size_t value) {
+
+inline uint8_t* emit_ext_raw(uint8_t* w, size_t value) {
   while (value >= 255) {
-    out.push_back(255);
+    *w++ = 255;
     value -= 255;
   }
-  out.push_back(static_cast<uint8_t>(value));
+  *w++ = static_cast<uint8_t>(value);
+  return w;
 }
 
 // Greedy single-probe walk — must stay in lockstep with
 // formats/fast_frame.py::compress_block (tested byte-identical).
-void compress_block_fast(const uint8_t* block, size_t n,
-                         std::vector<uint8_t>& out) {
-  std::vector<int32_t> table(1u << kHashLog, -1);
+// Writes into `w` (caller guarantees worst-case capacity) and returns the
+// number of bytes written.
+size_t compress_block_fast(const uint8_t* block, size_t n, uint8_t* w,
+                           int32_t* table) {
+  std::memset(table, -1, sizeof(int32_t) << kHashLog);
+  uint8_t* const w0 = w;
   size_t i = 0, anchor = 0;
   while (i + 4 <= n) {
     uint32_t h = hash32(load32(block + i));
@@ -81,12 +86,15 @@ void compress_block_fast(const uint8_t* block, size_t n,
       while (i + len < n && block[cand + len] == block[i + len]) ++len;
       size_t lit = i - anchor;
       size_t ml = len - 4;
-      out.push_back(static_cast<uint8_t>(
-          ((lit < 15 ? lit : 15) << 4) | (ml < 15 ? ml : 15)));
-      if (lit >= 15) emit_ext(out, lit - 15);
-      out.insert(out.end(), block + anchor, block + i);
-      put16(out, static_cast<uint16_t>(i - cand));
-      if (ml >= 15) emit_ext(out, ml - 15);
+      *w++ = static_cast<uint8_t>(((lit < 15 ? lit : 15) << 4) |
+                                  (ml < 15 ? ml : 15));
+      if (lit >= 15) w = emit_ext_raw(w, lit - 15);
+      std::memcpy(w, block + anchor, lit);
+      w += lit;
+      uint16_t off = static_cast<uint16_t>(i - cand);
+      std::memcpy(w, &off, 2);
+      w += 2;
+      if (ml >= 15) w = emit_ext_raw(w, ml - 15);
       i += len;
       anchor = i;
     } else {
@@ -94,9 +102,11 @@ void compress_block_fast(const uint8_t* block, size_t n,
     }
   }
   size_t lit = n - anchor;
-  out.push_back(static_cast<uint8_t>((lit < 15 ? lit : 15) << 4));
-  if (lit >= 15) emit_ext(out, lit - 15);
-  out.insert(out.end(), block + anchor, block + n);
+  *w++ = static_cast<uint8_t>((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15) w = emit_ext_raw(w, lit - 15);
+  std::memcpy(w, block + anchor, lit);
+  w += lit;
+  return static_cast<size_t>(w - w0);
 }
 
 int64_t decompress_block_fast(const uint8_t* payload, size_t n, uint8_t* out,
@@ -135,7 +145,20 @@ int64_t decompress_block_fast(const uint8_t* payload, size_t n, uint8_t* out,
       } while (b == 255);
     }
     if (w + ml > out_cap) return kErrBadInput;
-    for (size_t k = 0; k < ml; ++k, ++w) out[w] = out[w - offset];
+    if (offset >= ml) {
+      std::memcpy(out + w, out + w - offset, ml);
+      w += ml;
+    } else {
+      // Overlapping copy: replicate the period in doubling memmove chunks.
+      size_t copied = offset;
+      std::memcpy(out + w, out + w - offset, offset);
+      while (copied < ml) {
+        size_t chunk = copied < ml - copied ? copied : ml - copied;
+        std::memcpy(out + w + copied, out + w, chunk);
+        copied += chunk;
+      }
+      w += ml;
+    }
   }
   if (w != end) return kErrBadInput;
   return static_cast<int64_t>(raw_size);
@@ -265,35 +288,43 @@ int64_t lz4_encode_fast(const uint8_t* data, size_t n, uint8_t* out,
                         size_t out_cap) {
   const size_t block_size = 1u << kBlockLog;
   const size_t block_count = n == 0 ? 0 : (n + block_size - 1) / block_size;
-  std::vector<uint8_t> frame;
-  frame.reserve(n / 2 + 64);
-  put32(frame, kMagic);
-  frame.push_back(kVersion);
-  frame.push_back(kBlockLog);
-  put16(frame, 0);
-  put64(frame, n);
-  put32(frame, static_cast<uint32_t>(block_count));
-  const size_t sizes_at = frame.size();
-  frame.resize(frame.size() + 4 * block_count);
-  std::vector<uint8_t> comp;
+  const size_t header = 20 + 4 * block_count;
+  if (out_cap < header) return kErrOutputFull;
+  std::memcpy(out, &kMagic, 4);
+  out[4] = kVersion;
+  out[5] = kBlockLog;
+  out[6] = out[7] = 0;
+  uint64_t n64 = n;
+  std::memcpy(out + 8, &n64, 8);
+  uint32_t bc32 = static_cast<uint32_t>(block_count);
+  std::memcpy(out + 16, &bc32, 4);
+  // Scratch: one block's worst-case compressed size (raw-store caps the
+  // frame, but the transient compress output can exceed the block).
+  std::vector<uint8_t> scratch(block_size + block_size / 255 + 64);
+  std::vector<int32_t> table(1u << kHashLog);
+  size_t w = header;
   for (size_t b = 0; b < block_count; ++b) {
     const uint8_t* p = data + b * block_size;
     const size_t len = (b + 1) * block_size <= n ? block_size : n - b * block_size;
-    comp.clear();
-    compress_block_fast(p, len, comp);
+    const size_t comp = compress_block_fast(p, len, scratch.data(), table.data());
     uint32_t rec;
-    if (comp.size() >= len) {
+    const uint8_t* payload;
+    size_t payload_len;
+    if (comp >= len) {
       rec = static_cast<uint32_t>(len) | kRawFlag;
-      frame.insert(frame.end(), p, p + len);
+      payload = p;
+      payload_len = len;
     } else {
-      rec = static_cast<uint32_t>(comp.size());
-      frame.insert(frame.end(), comp.begin(), comp.end());
+      rec = static_cast<uint32_t>(comp);
+      payload = scratch.data();
+      payload_len = comp;
     }
-    std::memcpy(frame.data() + sizes_at + 4 * b, &rec, 4);
+    if (w + payload_len > out_cap) return kErrOutputFull;
+    std::memcpy(out + w, payload, payload_len);
+    w += payload_len;
+    std::memcpy(out + 20 + 4 * b, &rec, 4);
   }
-  if (frame.size() > out_cap) return kErrOutputFull;
-  std::memcpy(out, frame.data(), frame.size());
-  return static_cast<int64_t>(frame.size());
+  return static_cast<int64_t>(w);
 }
 
 // Fast frame decode.  Returns raw bytes written or <0.
