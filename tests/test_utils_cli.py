@@ -194,3 +194,31 @@ class TestExperiments:
         assert len(results) == 2
         payload = json.loads(out.read_text())
         assert payload[1]["image_size"] == 16
+
+
+class TestProfiling:
+    def test_fenced_executes(self):
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.utils.profiling import fenced
+
+        f = fenced(lambda x: {"a": x * 2, "b": x + 1})
+        assert f(jnp.ones((4, 4))) == 32.0 + 32.0
+
+    def test_time_device_returns_runs(self):
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.utils.profiling import time_device
+
+        times = time_device(lambda x: x @ x, jnp.ones((32, 32)), runs=3, warmup=1)
+        assert len(times) == 3 and all(t > 0 for t in times)
+
+
+class TestScaling:
+    def test_sweep_runs_on_cpu_mesh(self):
+        from lz4jpeg_tpu.bench.scaling import jpeg_scaling_sweep
+
+        results = jpeg_scaling_sweep(image_size=64, mesh_sizes=[1, 2], runs=2)
+        assert [r["devices"] for r in results] == [1, 2]
+        assert results[0]["speedup"] == 1.0
+        assert all(r["mean_s"] > 0 for r in results)
