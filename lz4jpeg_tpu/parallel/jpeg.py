@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lz4jpeg_tpu.config import JPEGConfig
 from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr, split_mcus
 from lz4jpeg_tpu.ops.dct import dct2_batched
+from lz4jpeg_tpu.ops.fused import fused_forward_jnp
 from lz4jpeg_tpu.ops.quantize import (
     CHROMINANCE_QUANTIZATION_TABLE,
     LUMINANCE_QUANTIZATION_TABLE,
@@ -57,17 +58,21 @@ class ShardedJPEGForward:
 
     def _mcu_stage_impl(self, lum, r, b):
         dtype = self.config.dtype
+        fused = self.config.precision == "fast"
         tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE.reshape(8, 8),
-            "r": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
-            "b": CHROMINANCE_QUANTIZATION_TABLE.reshape(8, 4),
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
         }
         out = {}
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             h, w = _CHANNEL_SHAPES[name]
-            coeff = dct2_batched(tiles, dtype)
-            q = quantize(coeff, tables[name])
-            zz = zigzag(q, w, h)
+            if fused:
+                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
+            else:
+                coeff = dct2_batched(tiles, dtype)
+                q = quantize(coeff, tables[name].reshape(h, w))
+                zz = zigzag(q, w, h)
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out

@@ -130,3 +130,15 @@ class TestMultihost:
 
         with pytest.raises(ValueError):
             ordered_allgather_payloads([b"x"], [0], 2)
+
+
+class TestShardedFastMode:
+    def test_fast_matches_unsharded_fast(self, rng, mesh):
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        sharded = ShardedJPEGForward(mesh, JPEGConfig(precision="fast"))
+        stages, n = sharded(img)
+        ref = JPEGPipeline(JPEGConfig(precision="fast")).forward_stages(img)
+        np.testing.assert_array_equal(stages["lum"]["zz"][:n], ref["lum"]["zz"])
+        np.testing.assert_array_equal(stages["r"]["rle"][:n], ref["r"]["rle"])
