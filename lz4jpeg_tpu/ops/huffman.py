@@ -144,6 +144,50 @@ def pack_symbols(
     return np.packbits(flat_bits).tobytes(), total_bits
 
 
+def pack_symbols_device(
+    symbols, codebook: CanonicalCodebook, pad_bits: int
+):
+    """Vectorized bit packing on the accelerator.
+
+    Jit-compatible variant of ``pack_symbols``: every output *bit* finds its
+    source symbol with one ``searchsorted`` over the exclusive bit-offset
+    prefix sum (a batched binary search — gathers, which TPUs like, instead
+    of variable-length scatters, which they don't), extracts its bit of the
+    codeword, and the bit matrix folds to bytes with a (·,8)×(8,) dot.
+
+    ``pad_bits`` is the static output capacity in bits (a multiple of 8);
+    jit recompiles only per capacity bucket, not per input.  Returns
+    ``(packed uint8[pad_bits//8], total_bits)``; bits past ``total_bits``
+    are zero, matching ``np.packbits``.
+    """
+    import jax.numpy as jnp
+
+    if pad_bits % 8:
+        raise ValueError("pad_bits must be a multiple of 8")
+    symbols = jnp.asarray(symbols, jnp.int32)
+    sym_order = np.argsort(codebook.symbols, kind="stable")
+    sorted_syms = jnp.asarray(codebook.symbols[sym_order].astype(np.int32))
+    row_of_sorted = jnp.asarray(sym_order.astype(np.int32))
+    rows = row_of_sorted[jnp.searchsorted(sorted_syms, symbols)]
+    lengths = jnp.asarray(codebook.lengths.astype(np.int32))[rows]
+    codes = jnp.asarray(codebook.codes.astype(np.uint32))[rows]
+    offsets = jnp.cumsum(lengths) - lengths  # exclusive prefix
+    total_bits = offsets[-1] + lengths[-1] if symbols.shape[0] else jnp.int32(0)
+    j = jnp.arange(pad_bits, dtype=jnp.int32)
+    s = jnp.clip(
+        jnp.searchsorted(offsets, j, side="right") - 1, 0, symbols.shape[0] - 1
+    )
+    bit_in_code = j - offsets[s]
+    shift = lengths[s] - 1 - bit_in_code
+    bits = (codes[s] >> shift.astype(jnp.uint32)) & 1
+    bits = jnp.where(j < total_bits, bits, 0).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    packed = (bits.reshape(-1, 8).astype(jnp.int32) @ weights).astype(
+        jnp.uint8
+    )
+    return packed, total_bits
+
+
 def unpack_symbols(
     packed: bytes, total_bits: int, codebook: CanonicalCodebook
 ) -> np.ndarray:

@@ -112,3 +112,44 @@ class TestEntropy:
         img = noise(rng, 16, 16)
         enc = exact_pipeline.encode(img)
         assert enc.compressed_bytes() > 0
+
+
+class TestDevicePacking:
+    def test_matches_host_packbits(self, rng):
+        import jax
+        import numpy as np
+
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook,
+            pack_symbols,
+            pack_symbols_device,
+        )
+
+        symbols = rng.integers(-50, 50, size=1000).astype(np.int32)
+        codebook = build_canonical_codebook(symbols)
+        host_packed, host_bits = pack_symbols(symbols, codebook)
+        pad_bits = ((host_bits + 1023) // 1024 + 1) * 1024
+        dev_packed, dev_bits = jax.jit(
+            lambda s: pack_symbols_device(s, codebook, pad_bits)
+        )(symbols)
+        assert int(dev_bits) == host_bits
+        np.testing.assert_array_equal(
+            np.asarray(dev_packed)[: (host_bits + 7) // 8],
+            np.frombuffer(host_packed, np.uint8),
+        )
+        assert np.all(np.asarray(dev_packed)[(host_bits + 7) // 8 :] == 0)
+
+    def test_unpack_inverts_device_pack(self, rng):
+        import numpy as np
+
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook,
+            pack_symbols_device,
+            unpack_symbols,
+        )
+
+        symbols = rng.integers(0, 10, size=257).astype(np.int32)
+        codebook = build_canonical_codebook(symbols)
+        packed, nbits = pack_symbols_device(symbols, codebook, 8192)
+        out = unpack_symbols(bytes(np.asarray(packed)), int(nbits), codebook)
+        np.testing.assert_array_equal(out, symbols)
