@@ -25,3 +25,6 @@ Layout (mirrors SURVEY.md §7's layer map):
 __version__ = "0.1.0"
 
 from lz4jpeg_tpu.config import LZ4Config, JPEGConfig  # noqa: F401
+
+from lz4jpeg_tpu.models import JPEGPipeline  # noqa: F401
+from lz4jpeg_tpu.models.lz4 import LZ4Codec  # noqa: F401
