@@ -113,6 +113,56 @@ def _emit_final(out: bytearray, literals: bytes) -> None:
     out += literals
 
 
+def emit_block_from_parse(
+    block: bytes, is_match, emit_len, emit_dist
+) -> bytes:
+    """LZ4T payload from parse arrays (the TPU matcher's output shape).
+
+    ``is_match[k]`` marks a sequence starting at ``k`` with total match
+    length ``emit_len[k]`` (≥4) at distance ``emit_dist[k]``; the gaps are
+    literals.  Python twin of the native ``lz4t_emit_block``.
+    """
+    out = bytearray()
+    n = len(block)
+    anchor = 0
+    k = 0
+    while k < n:
+        if not is_match[k]:
+            k += 1
+            continue
+        _emit_sequence(
+            out, block[anchor:k], int(emit_dist[k]), int(emit_len[k])
+        )
+        k += int(emit_len[k])
+        anchor = k
+    _emit_final(out, block[anchor:n])
+    return bytes(out)
+
+
+def assemble_frame(
+    block_payloads, block_raws, total_size: int, block_log: int
+) -> bytes:
+    """Wrap per-block payloads into a frame, raw-storing incompressible
+    blocks.  ``block_payloads[i]`` is block i's compressed payload and
+    ``block_raws[i]`` its raw bytes."""
+    sizes = []
+    body = bytearray()
+    for payload, raw in zip(block_payloads, block_raws):
+        if payload is None or len(payload) >= len(raw):
+            sizes.append(len(raw) | RAW_FLAG)
+            body += raw
+        else:
+            sizes.append(len(payload))
+            body += payload
+    out = bytearray()
+    out += struct.pack(
+        "<IBBHQI", MAGIC, VERSION, block_log, 0, total_size, len(sizes)
+    )
+    out += struct.pack(f"<{len(sizes)}I", *sizes)
+    out += body
+    return bytes(out)
+
+
 def decompress_block(payload: bytes, raw_size: int) -> bytes:
     out = bytearray()
     p = 0

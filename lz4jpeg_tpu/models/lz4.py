@@ -51,16 +51,62 @@ class LZ4Codec:
     # Encode
     # ------------------------------------------------------------------
 
-    def encode(self, data: bytes) -> bytes:
+    def encode(self, data: bytes, engine: str = "auto") -> bytes:
+        """Compress ``data``.
+
+        ``engine`` (fast mode only): ``"tpu"`` runs the hash-bucket matcher
+        on the accelerator (``ops/lz4_fast.py``), ``"native"`` the C++
+        host encoder, ``"python"`` the executable spec; ``"auto"`` prefers
+        native and falls back to python.  All engines produce valid LZ4T
+        frames decodable by every decoder (match choices may differ).
+        """
         if self.config.mode == "parity":
             return self._encode_parity(data)
+        if engine == "tpu":
+            return self._encode_fast_tpu(data)
         from lz4jpeg_tpu.native import native_available, native_backend
 
-        if native_available():
+        if engine == "native" or (engine == "auto" and native_available()):
             return native_backend().encode_fast(data)
         from lz4jpeg_tpu.formats.fast_frame import encode_fast
 
         return encode_fast(data)
+
+    def _encode_fast_tpu(self, data: bytes) -> bytes:
+        """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9)."""
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.formats.fast_frame import (
+            assemble_frame,
+            emit_block_from_parse,
+        )
+        from lz4jpeg_tpu.native import native_available, native_backend
+        from lz4jpeg_tpu.ops.lz4_fast import (
+            TPU_BLOCK_LOG,
+            fast_match_blocks,
+            pad_blocks_fast,
+        )
+
+        padded, lengths = pad_blocks_fast(data, TPU_BLOCK_LOG)
+        is_match, emit_len, emit_dist = jax.device_get(
+            fast_match_blocks(jnp.asarray(padded), jnp.asarray(lengths))
+        )
+        native = native_backend() if native_available() else None
+        payloads, raws = [], []
+        for bi in range(padded.shape[0]):
+            n = int(lengths[bi])
+            raw = bytes(padded[bi, :n].astype(np.uint8))
+            if native is not None:
+                payload = native.emit_block(
+                    raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
+                )
+            else:
+                payload = emit_block_from_parse(
+                    raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
+                )
+            payloads.append(payload)
+            raws.append(raw)
+        return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
 
     def _encode_parity(self, data: bytes) -> bytes:
         block_length = self.config.block_length

@@ -43,6 +43,13 @@ class NativeBackend:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_size_t,
         ]
+        lib.lz4t_emit_block.restype = ctypes.c_ssize_t
+        lib.lz4t_emit_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -56,6 +63,26 @@ class NativeBackend:
         n = self._lib.lz4_decode_fast(data, len(data), out, len(out))
         if n < 0:
             raise RuntimeError(f"native fast decode failed ({n})")
+        return out.raw[:n]
+
+    def emit_block(
+        self, data: bytes, is_match, emit_len, emit_dist
+    ) -> bytes:
+        """LZ4T payload from TPU parse arrays (numpy uint8/int32/int32)."""
+        import numpy as np
+
+        is_match = np.ascontiguousarray(is_match, np.uint8)
+        emit_len = np.ascontiguousarray(emit_len, np.int32)
+        emit_dist = np.ascontiguousarray(emit_dist, np.int32)
+        out = ctypes.create_string_buffer(len(data) + len(data) // 128 + 64)
+        n = self._lib.lz4t_emit_block(
+            data, len(data),
+            is_match.tobytes(),
+            emit_len.ctypes.data, emit_dist.ctypes.data,
+            out, len(out),
+        )
+        if n < 0:
+            raise RuntimeError(f"native block emit failed ({n})")
         return out.raw[:n]
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:

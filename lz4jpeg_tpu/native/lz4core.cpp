@@ -389,3 +389,46 @@ int64_t lz4_encode_parity(const uint8_t* data, size_t n, uint8_t* out,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Emit one LZ4T block payload from parse arrays (TPU fast-path serializer):
+// is_match[k]=1 marks a sequence start at k with emit_len[k]/emit_dist[k];
+// gaps are literals.  Returns payload bytes written, or <0.
+int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
+                        const int32_t* emit_len, const int32_t* emit_dist,
+                        uint8_t* out, size_t out_cap) {
+  uint8_t* w = out;
+  uint8_t* const w_end = out + out_cap;
+  size_t anchor = 0, i = 0;
+  while (i < n) {
+    if (!is_match[i]) {
+      ++i;
+      continue;
+    }
+    size_t lit = i - anchor;
+    size_t ml = static_cast<size_t>(emit_len[i]) - 4;
+    if (w + 1 + lit / 255 + 3 + lit + 2 + ml / 255 + 2 > w_end)
+      return kErrOutputFull;
+    *w++ = static_cast<uint8_t>(((lit < 15 ? lit : 15) << 4) |
+                                (ml < 15 ? ml : 15));
+    if (lit >= 15) w = emit_ext_raw(w, lit - 15);
+    std::memcpy(w, data + anchor, lit);
+    w += lit;
+    uint16_t off = static_cast<uint16_t>(emit_dist[i]);
+    std::memcpy(w, &off, 2);
+    w += 2;
+    if (ml >= 15) w = emit_ext_raw(w, ml - 15);
+    i += static_cast<size_t>(emit_len[i]);
+    anchor = i;
+  }
+  size_t lit = n - anchor;
+  if (w + 1 + lit / 255 + 2 + lit > w_end) return kErrOutputFull;
+  *w++ = static_cast<uint8_t>((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15) w = emit_ext_raw(w, lit - 15);
+  std::memcpy(w, data + anchor, lit);
+  w += lit;
+  return static_cast<int64_t>(w - out);
+}
+
+}  // extern "C"

@@ -35,3 +35,4 @@ from lz4jpeg_tpu.ops.huffman import (  # noqa: F401
 )
 from lz4jpeg_tpu.ops.match import match_tables, greedy_parse, pad_blocks  # noqa: F401
 from lz4jpeg_tpu.ops.lz4_decode import decode_frame_device  # noqa: F401
+from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks, pad_blocks_fast  # noqa: F401

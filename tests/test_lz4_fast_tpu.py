@@ -1,0 +1,105 @@
+"""TPU fast-mode LZ4: hash-bucket matcher + rolling-hash LCP + emitters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.config import LZ4Config
+from lz4jpeg_tpu.formats.fast_frame import (
+    decode_fast,
+    emit_block_from_parse,
+)
+from lz4jpeg_tpu.models.lz4 import LZ4Codec
+from lz4jpeg_tpu.native import native_available, native_backend
+from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks, pad_blocks_fast
+
+
+def parse(data: bytes):
+    padded, lengths = pad_blocks_fast(data)
+    return padded, lengths, *map(
+        np.asarray,
+        fast_match_blocks(jnp.asarray(padded), jnp.asarray(lengths)),
+    )
+
+
+class TestMatcher:
+    def test_finds_repeats(self):
+        data = b"hello world, " * 100
+        _, _, is_match, emit_len, emit_dist = parse(data)
+        assert is_match.sum() > 0
+        assert emit_len[is_match.astype(bool)].min() >= 4
+
+    def test_no_matches_in_noise(self, rng):
+        data = bytes(rng.integers(0, 256, size=1000, dtype=np.uint8))
+        _, _, is_match, _, _ = parse(data)
+        # 4-byte repeats in 1000 random bytes are rare but possible; any
+        # reported match must at least be real (verified elsewhere by
+        # round-trip); here just sanity-check the shape and low count.
+        assert is_match.sum() < 20
+
+    def test_matches_are_real(self, metamorphosis):
+        data = metamorphosis[:8192]
+        padded, lengths, is_match, emit_len, emit_dist = parse(data)
+        for bi in range(padded.shape[0]):
+            block = padded[bi, : lengths[bi]]
+            for k in np.nonzero(is_match[bi])[0]:
+                ln, d = int(emit_len[bi, k]), int(emit_dist[bi, k])
+                assert ln >= 4 and d >= 1
+                np.testing.assert_array_equal(
+                    block[k : k + ln], block[k - d : k - d + ln]
+                )
+
+    def test_parse_is_nonoverlapping(self, metamorphosis):
+        data = metamorphosis[:4096]
+        _, _, is_match, emit_len, _ = parse(data)
+        covered = -1
+        for k in np.nonzero(is_match[0])[0]:
+            assert k > covered
+            covered = k + int(emit_len[0, k]) - 1
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("size", [100, 4096, 20000])
+    def test_roundtrip(self, metamorphosis, size):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        data = metamorphosis[:size]
+        enc = codec.encode(data, engine="tpu")
+        assert codec.decode(enc) == data
+        assert decode_fast(enc) == data  # python decoder agrees
+
+    def test_compresses_text(self, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        enc = codec.encode(metamorphosis, engine="tpu")
+        host = codec.encode(metamorphosis, engine="python")
+        assert len(enc) < len(metamorphosis)
+        # All-positions insertion finds at least as many candidates as the
+        # single-probe host table; allow slack for the smaller block size.
+        assert len(enc) < len(host) * 1.1
+
+    def test_noise_stored_raw(self, rng):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        data = bytes(rng.integers(0, 256, size=10000, dtype=np.uint8))
+        enc = codec.encode(data, engine="tpu")
+        assert codec.decode(enc) == data
+        assert len(enc) <= len(data) + 20 + 4 * 3 + 16
+
+    def test_empty_and_tiny(self):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        for data in (b"", b"a", b"abc"):
+            assert codec.decode(codec.encode(data, engine="tpu")) == data
+
+
+@pytest.mark.skipif(not native_available(), reason="native backend not built")
+class TestNativeEmitter:
+    def test_matches_python_emitter(self, metamorphosis):
+        data = metamorphosis[:4096]
+        padded, lengths, is_match, emit_len, emit_dist = parse(data)
+        n = int(lengths[0])
+        raw = bytes(padded[0, :n].astype(np.uint8))
+        nat = native_backend().emit_block(
+            raw, is_match[0, :n], emit_len[0, :n], emit_dist[0, :n]
+        )
+        py = emit_block_from_parse(
+            raw, is_match[0, :n], emit_len[0, :n], emit_dist[0, :n]
+        )
+        assert nat == py
