@@ -77,6 +77,76 @@ class ShardedJPEGForward:
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
 
+    def inverse(
+        self,
+        rle: Dict[str, np.ndarray],
+        rle_lengths: Dict[str, np.ndarray],
+        bpc: int,
+        bpr: int,
+        height: int,
+        width: int,
+    ) -> np.ndarray:
+        """Sharded inverse chain: RLE → IDCT per MCU shard, then merge.
+
+        The reference's parallel variant runs the whole inverse per MCU
+        thread too (``process``, Algorithms/parallel/JPEG/JPEG.c:1103-1252)
+        — and then loses the results to its by-value bug; here the shard is
+        the unit and the merge is the output sharding."""
+        from lz4jpeg_tpu.ops.color import ycbcr_to_rgb_mcus
+        from lz4jpeg_tpu.ops.fused import fused_inverse_jnp
+        from lz4jpeg_tpu.ops.dct import idct2_batched
+        from lz4jpeg_tpu.ops.quantize import dequantize
+        from lz4jpeg_tpu.ops.rle import rle_decode_batched
+        from lz4jpeg_tpu.ops.zigzag import reverse_zigzag
+
+        dtype = self.config.dtype
+        fused = self.config.precision == "fast"
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
+        }
+        n_dev = self.mesh.devices.size
+        n_mcus = bpc * bpr
+
+        def stage(rle_j, len_j):
+            rec = {}
+            for name in ("lum", "r", "b"):
+                h, w = _CHANNEL_SHAPES[name]
+                zz = rle_decode_batched(rle_j[name], len_j[name], h * w)
+                if fused:
+                    rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
+                else:
+                    blocks = reverse_zigzag(zz.astype(dtype), w, h)
+                    deq = dequantize(
+                        blocks.reshape(-1, h, w), tables[name].reshape(h, w)
+                    )
+                    rec[name] = idct2_batched(deq, dtype)
+            return rec
+
+        padded_rle, padded_len = {}, {}
+        for c in ("lum", "r", "b"):
+            padded_rle[c], _ = pad_to_devices(np.asarray(rle[c]), n_dev)
+            padded_len[c], _ = pad_to_devices(np.asarray(rle_lengths[c]), n_dev)
+        put = functools.partial(jax.device_put, device=self._shard)
+        rec = jax.jit(
+            stage,
+            in_shardings=(self._shard, self._shard),
+            out_shardings=self._shard,
+        )(
+            {c: put(v) for c, v in padded_rle.items()},
+            {c: put(v) for c, v in padded_len.items()},
+        )
+        rec = jax.device_get(rec)
+        return np.asarray(
+            ycbcr_to_rgb_mcus(
+                jnp.asarray(rec["lum"][:n_mcus]),
+                jnp.asarray(rec["r"][:n_mcus]),
+                jnp.asarray(rec["b"][:n_mcus]),
+                bpc, bpr, height, width, dtype,
+            )
+        )
+
     def __call__(self, rgb: np.ndarray) -> Tuple[Dict[str, Dict[str, np.ndarray]], int]:
         """RGB image → per-channel sharded forward results.
 

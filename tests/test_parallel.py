@@ -142,3 +142,20 @@ class TestShardedFastMode:
         ref = JPEGPipeline(JPEGConfig(precision="fast")).forward_stages(img)
         np.testing.assert_array_equal(stages["lum"]["zz"][:n], ref["lum"]["zz"])
         np.testing.assert_array_equal(stages["r"]["rle"][:n], ref["r"]["rle"])
+
+
+class TestShardedInverse:
+    @pytest.mark.parametrize("precision", ["exact", "fast"])
+    def test_matches_single_device_decode(self, rng, mesh, precision):
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        pipe = JPEGPipeline(JPEGConfig(precision=precision))
+        enc = pipe.encode(img, entropy=False)
+        single = pipe.decode(enc, from_entropy=False)
+        sharded = ShardedJPEGForward(mesh, JPEGConfig(precision=precision))
+        rec = sharded.inverse(
+            enc.rle, enc.rle_lengths,
+            enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
+        )
+        np.testing.assert_array_equal(rec, single)
