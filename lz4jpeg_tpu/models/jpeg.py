@@ -103,6 +103,11 @@ class JPEGPipeline:
 
     def __init__(self, config: JPEGConfig = JPEGConfig()):
         self._forward_rle = jax.jit(self._forward_rle_impl)
+        # Bucketed two-stage forward: the cheap image→tiles stage compiles
+        # per image shape, the expensive fused+RLE stage per power-of-two
+        # MCU-count bucket — bounded recompiles when serving many sizes.
+        self._split_stage = jax.jit(self._split_impl)
+        self._mcu_forward = jax.jit(self._mcu_forward_impl)
         if config.precision == "exact" and not jax.config.jax_enable_x64:
             # Without x64, float64 silently degrades to f32 and the pipeline
             # loses coefficient-exact parity — fail loudly instead.  Exact
@@ -154,6 +159,70 @@ class JPEGPipeline:
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
+
+    def _split_impl(self, rgb: jnp.ndarray):
+        """Image → MCU tile batches (cheap per-shape compile)."""
+        dtype = self.config.dtype
+        y, cr, cb = rgb_to_ycbcr(rgb, dtype)
+        return split_mcus(
+            y, chroma_subsample_422(cr), chroma_subsample_422(cb)
+        )
+
+    def _mcu_forward_impl(self, lum, r, b):
+        """MCU batches → per-channel RLE streams (per-bucket compile)."""
+        out = {}
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
+        }
+        dtype = self.config.dtype
+        fused = self.config.precision == "fast"
+        for name, tiles in (("lum", lum), ("r", r), ("b", b)):
+            h, w = _CHANNEL_SHAPES[name]
+            if fused:
+                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
+            else:
+                coeff = dct2_batched(tiles, dtype)
+                q = quantize(coeff, tables[name].reshape(h, w))
+                zz = zigzag(q, w, h)
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            out[name] = (pairs.astype(jnp.int16), lengths.astype(jnp.int32))
+        return out
+
+    def encode_bucketed(self, rgb: np.ndarray, entropy: bool = True) -> "JPEGEncoded":
+        """Like ``encode`` but with power-of-two MCU-count bucketing, so a
+        stream of mixed image sizes triggers at most ⌈log₂ N⌉ compiles of
+        the heavy stage instead of one per distinct size."""
+        h, w = rgb.shape[:2]
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        n = bpc * bpr
+        lum, r, b = self._split_stage(jnp.asarray(rgb))
+        bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+        pad = bucket - n
+
+        def padded(tiles):
+            return jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
+
+        streams = jax.device_get(
+            self._mcu_forward(padded(lum), padded(r), padded(b))
+        )
+        enc = JPEGEncoded(
+            height=h,
+            width=w,
+            blocks_per_col=bpc,
+            blocks_per_row=bpr,
+            rle={
+                c: np.asarray(streams[c][0][:n], dtype=np.int32)
+                for c in CHANNELS
+            },
+            rle_lengths={
+                c: np.asarray(streams[c][1][:n]) for c in CHANNELS
+            },
+        )
+        if entropy:
+            self.entropy_encode(enc)
+        return enc
 
     def _forward_rle_impl(self, rgb: jnp.ndarray):
         """Forward returning only what ``encode`` ships to the host: RLE

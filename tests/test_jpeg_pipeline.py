@@ -153,3 +153,32 @@ class TestDevicePacking:
         packed, nbits = pack_symbols_device(symbols, codebook, 8192)
         out = unpack_symbols(bytes(np.asarray(packed)), int(nbits), codebook)
         np.testing.assert_array_equal(out, symbols)
+
+
+class TestBucketedEncode:
+    @pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (40, 16)])
+    def test_matches_plain_encode(self, rng, exact_pipeline, h, w):
+        img = noise(rng, h, w)
+        plain = exact_pipeline.encode(img, entropy=False)
+        bucketed = exact_pipeline.encode_bucketed(img, entropy=False)
+        for c in ("lum", "r", "b"):
+            np.testing.assert_array_equal(bucketed.rle[c], plain.rle[c])
+            np.testing.assert_array_equal(
+                bucketed.rle_lengths[c], plain.rle_lengths[c]
+            )
+
+    def test_shares_bucket_compiles(self, rng, exact_pipeline):
+        # 16x16 (4 MCUs) and 8x32 (4 MCUs) land in the same bucket; the
+        # heavy stage must not recompile.
+        img1, img2 = noise(rng, 16, 16), noise(rng, 8, 32)
+        exact_pipeline.encode_bucketed(img1)
+        before = exact_pipeline._mcu_forward._cache_size()
+        exact_pipeline.encode_bucketed(img2)
+        assert exact_pipeline._mcu_forward._cache_size() == before
+
+    def test_decodes_correctly(self, rng, exact_pipeline):
+        img = noise(rng, 24, 24)
+        enc = exact_pipeline.encode_bucketed(img)
+        np.testing.assert_array_equal(
+            exact_pipeline.decode(enc), exact_pipeline.roundtrip(img)
+        )
