@@ -369,18 +369,24 @@ def _split_symbols(
     symbols: np.ndarray, num_blocks: int, pad_width: int, block_size: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Re-block a flat symbol stream: each block's pairs end once their
-    counts sum to ``block_size`` (RLE of a full block always covers it)."""
+    counts sum to ``block_size`` (RLE of a full block always covers it).
+    Fully vectorized: ``block_of_pair`` is nondecreasing, so block
+    boundaries come from two searchsorteds and the scatter targets from a
+    running offset."""
     pairs = np.zeros((num_blocks, pad_width), np.int32)
     lengths = np.zeros(num_blocks, np.int32)
     counts = symbols[0::2].astype(np.int64)
+    values = symbols[1::2].astype(np.int64)
     ends = np.cumsum(counts)
     # Pair j belongs to block (ends[j]-1) // block_size.
     block_of_pair = (ends - 1) // block_size
-    for i in range(num_blocks):
-        sel = np.nonzero(block_of_pair == i)[0]
-        flat = np.stack([counts[sel], symbols[1::2][sel]], axis=1).reshape(-1)
-        pairs[i, : len(flat)] = flat
-        lengths[i] = len(flat)
+    starts = np.searchsorted(block_of_pair, np.arange(num_blocks), "left")
+    stops = np.searchsorted(block_of_pair, np.arange(num_blocks), "right")
+    lengths[:] = 2 * (stops - starts)
+    slot = np.arange(len(counts)) - starts[block_of_pair]
+    flat_idx = block_of_pair * pad_width + 2 * slot
+    pairs.reshape(-1)[flat_idx] = counts
+    pairs.reshape(-1)[flat_idx + 1] = values
     return pairs, lengths
 
 

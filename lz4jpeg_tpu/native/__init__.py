@@ -50,6 +50,17 @@ class NativeBackend:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.huff_unpack.restype = ctypes.c_ssize_t
+        lib.huff_unpack.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.huff_pack.restype = ctypes.c_ssize_t
+        lib.huff_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -84,6 +95,37 @@ class NativeBackend:
         if n < 0:
             raise RuntimeError(f"native block emit failed ({n})")
         return out.raw[:n]
+
+    def huff_pack(self, codes, lengths) -> tuple:
+        """(uint32 codes, uint8 lengths) → (packed bytes, total bits)."""
+        import numpy as np
+
+        codes = np.ascontiguousarray(codes, np.uint32)
+        lengths = np.ascontiguousarray(lengths, np.uint8)
+        cap = int(lengths.astype(np.int64).sum()) // 8 + 8
+        out = ctypes.create_string_buffer(cap)
+        nbits = self._lib.huff_pack(
+            codes.ctypes.data, lengths.tobytes(), len(codes), out, cap
+        )
+        if nbits < 0:
+            raise RuntimeError(f"native huffman pack failed ({nbits})")
+        return out.raw[: (nbits + 7) // 8], int(nbits)
+
+    def huff_unpack(self, packed: bytes, nbits: int, lengths, symbols):
+        """Canonical Huffman decode; numpy uint8 lengths / int32 symbols."""
+        import numpy as np
+
+        lengths = np.ascontiguousarray(lengths, np.uint8)
+        symbols = np.ascontiguousarray(symbols, np.int32)
+        out = np.empty(max(nbits, 1), np.int32)
+        n = self._lib.huff_unpack(
+            packed, nbits,
+            lengths.tobytes(), symbols.ctypes.data, len(symbols),
+            out.ctypes.data, len(out),
+        )
+        if n < 0:
+            raise RuntimeError(f"native huffman unpack failed ({n})")
+        return out[:n].copy()
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
         out = ctypes.create_string_buffer(2 * len(data) + 65536)

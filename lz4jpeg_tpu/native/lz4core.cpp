@@ -432,3 +432,84 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Canonical Huffman decode (host side of the shared-codebook entropy
+// stage).  `lengths` ascending with `symbols` in canonical order (the
+// CanonicalCodebook layout).  Returns symbol count written, or <0.
+int64_t huff_unpack(const uint8_t* packed, uint64_t nbits,
+                    const uint8_t* lengths, const int32_t* symbols,
+                    size_t num_symbols, int32_t* out, size_t out_cap) {
+  if (num_symbols == 0) return nbits == 0 ? 0 : kErrBadInput;
+  // first_code/first_index per length (canonical code arithmetic).
+  uint32_t first_code[33] = {0};
+  int32_t first_index[33];
+  uint32_t count_len[33] = {0};
+  for (int l = 0; l <= 32; ++l) first_index[l] = -1;
+  for (size_t s = 0; s < num_symbols; ++s) {
+    int l = lengths[s];
+    if (l < 1 || l > 32) return kErrBadInput;
+    if (first_index[l] < 0) first_index[l] = static_cast<int32_t>(s);
+    ++count_len[l];
+  }
+  uint32_t code = 0;
+  int prev = 0;
+  for (int l = 1; l <= 32; ++l) {
+    if (!count_len[l]) continue;
+    code <<= (l - prev);
+    prev = l;
+    first_code[l] = code;
+    code += count_len[l];
+  }
+  size_t w = 0;
+  uint32_t acc = 0;
+  int acc_len = 0;
+  for (uint64_t i = 0; i < nbits; ++i) {
+    acc = (acc << 1) | ((packed[i >> 3] >> (7 - (i & 7))) & 1);
+    ++acc_len;
+    if (acc_len > 32) return kErrBadInput;
+    if (first_index[acc_len] >= 0 &&
+        acc >= first_code[acc_len] &&
+        acc < first_code[acc_len] + count_len[acc_len]) {
+      if (w >= out_cap) return kErrOutputFull;
+      out[w++] = symbols[first_index[acc_len] + (acc - first_code[acc_len])];
+      acc = 0;
+      acc_len = 0;
+    }
+  }
+  if (acc_len != 0) return kErrBadInput;
+  return static_cast<int64_t>(w);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Pack per-symbol canonical codes MSB-first into a byte stream (host side
+// of the shared-codebook entropy stage).  Returns total bits, or <0.
+int64_t huff_pack(const uint32_t* codes, const uint8_t* lengths, size_t n,
+                  uint8_t* out, size_t out_cap) {
+  uint64_t acc = 0;
+  int acc_bits = 0;
+  size_t w = 0;
+  uint64_t total_bits = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int l = lengths[i];
+    acc = (acc << l) | (codes[i] & ((l == 32 ? 0xFFFFFFFFu : ((1u << l) - 1))));
+    acc_bits += l;
+    total_bits += l;
+    while (acc_bits >= 8) {
+      if (w >= out_cap) return kErrOutputFull;
+      out[w++] = static_cast<uint8_t>((acc >> (acc_bits - 8)) & 0xFF);
+      acc_bits -= 8;
+    }
+  }
+  if (acc_bits > 0) {
+    if (w >= out_cap) return kErrOutputFull;
+    out[w++] = static_cast<uint8_t>((acc << (8 - acc_bits)) & 0xFF);
+  }
+  return static_cast<int64_t>(total_bits);
+}
+
+}  // extern "C"

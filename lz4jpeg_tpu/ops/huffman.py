@@ -120,7 +120,12 @@ def build_canonical_codebook(symbols: np.ndarray) -> CanonicalCodebook:
 def pack_symbols(
     symbols: np.ndarray, codebook: CanonicalCodebook
 ) -> Tuple[bytes, int]:
-    """Vectorized encode: symbols → (packed bytes, total bit count)."""
+    """Vectorized encode: symbols → (packed bytes, total bit count).
+
+    Symbol→code mapping is a searchsorted gather; the bit concatenation
+    runs in the native C++ packer when built (the NumPy bit-matrix
+    fallback below is ~100× slower at multi-million-symbol streams).
+    """
     symbols = np.asarray(symbols, np.int32)
     if len(symbols) == 0:
         return b"", 0
@@ -130,8 +135,16 @@ def pack_symbols(
     rows = sym_order[np.searchsorted(sorted_syms, symbols)]
     if not np.array_equal(codebook.symbols[rows], symbols):
         raise ValueError("symbol outside codebook")
-    lengths = codebook.lengths[rows].astype(np.int64)
-    codes = codebook.codes[rows].astype(np.int64)
+    lengths = codebook.lengths[rows]
+    codes = codebook.codes[rows]
+
+    from lz4jpeg_tpu.native import native_available, native_backend
+
+    if native_available():
+        return native_backend().huff_pack(codes, lengths)
+
+    lengths = lengths.astype(np.int64)
+    codes = codes.astype(np.int64)
     max_len = int(lengths.max())
     # Bit matrix: row i holds code i MSB-first in its first lengths[i] slots.
     shifts = lengths[:, None] - 1 - np.arange(max_len, dtype=np.int64)[None, :]
@@ -191,9 +204,19 @@ def pack_symbols_device(
 def unpack_symbols(
     packed: bytes, total_bits: int, codebook: CanonicalCodebook
 ) -> np.ndarray:
-    """Table-driven canonical decode (first-code arithmetic per length)."""
+    """Table-driven canonical decode (first-code arithmetic per length).
+
+    Prefers the native C++ walker (~100 MB/s); the Python loop below is
+    the executable spec and fallback.
+    """
     if total_bits == 0:
         return np.zeros(0, np.int32)
+    from lz4jpeg_tpu.native import native_available, native_backend
+
+    if native_available():
+        return native_backend().huff_unpack(
+            packed, total_bits, codebook.lengths, codebook.symbols
+        )
     bits = np.unpackbits(np.frombuffer(packed, np.uint8))[:total_bits]
     # first_code[l], first_index[l] for each distinct length.
     lengths = codebook.lengths.astype(np.int64)
