@@ -65,18 +65,29 @@ def run_timed(
     warmup: int = 1,
     work: Optional[float] = None,
     work_unit: Optional[str] = None,
+    retries: int = 3,
 ) -> BenchResult:
     """Time ``fn`` ``runs`` times after ``warmup`` untimed calls.
 
     ``work`` is the per-run work amount (bytes, pixels); throughput is
-    ``work / mean`` in ``work_unit``/s.
+    ``work / mean`` in ``work_unit``/s.  A failing run is retried up to
+    ``retries`` times — the harness-level failure handling the reference
+    implements as its retry-until-exit-0 loop
+    (``Experiment/LZ4_sequential_experiment.c:97-125``).
     """
     for _ in range(warmup):
         fn()
     times = []
     for _ in range(runs):
-        t0 = time.perf_counter()
-        fn()
+        for attempt in range(retries + 1):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception:
+                if attempt == retries:
+                    raise
+                continue
+            break
         times.append(time.perf_counter() - t0)
     m = trimmed_mean(times)
     return BenchResult(

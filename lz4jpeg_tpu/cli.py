@@ -74,7 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     bench = sub.add_parser("bench", help="benchmark harness")
     bench.add_argument(
-        "suite", choices=["headline", "lz4", "jpeg"], default="headline"
+        "suite",
+        choices=["headline", "lz4", "jpeg", "scaling"],
+        default="headline",
     )
     bench.add_argument("--runs", type=int, default=10)
     bench.add_argument("--output", help="JSON results path")
@@ -195,6 +197,16 @@ def _cmd_bench(args) -> int:
         import bench as headline  # repo-root bench.py
 
         headline.main()
+        return 0
+    if args.suite == "scaling":
+        import jax
+
+        # Device-count printout, the reference's only runtime report of its
+        # parallel resources (Algorithms/parallel/LZ4/LZ4.c:1242-1246).
+        print(f"devices: {len(jax.devices())}")
+        from lz4jpeg_tpu.bench.scaling import jpeg_scaling_sweep
+
+        jpeg_scaling_sweep(runs=args.runs)
         return 0
     from lz4jpeg_tpu.bench.experiments import run_lz4_experiment, run_jpeg_experiment
 

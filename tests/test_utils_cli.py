@@ -222,3 +222,29 @@ class TestScaling:
         assert [r["devices"] for r in results] == [1, 2]
         assert results[0]["speedup"] == 1.0
         assert all(r["mean_s"] > 0 for r in results)
+
+
+class TestHarnessRetry:
+    def test_retries_then_succeeds(self):
+        from lz4jpeg_tpu.bench.harness import run_timed
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] % 2:
+                raise RuntimeError("transient")
+
+        r = run_timed("flaky", flaky, scale=1, runs=3, warmup=0, retries=2)
+        assert len(r.times_s) == 3
+
+    def test_exhausted_retries_raise(self):
+        import pytest as _pytest
+
+        from lz4jpeg_tpu.bench.harness import run_timed
+
+        def always_fails():
+            raise RuntimeError("permanent")
+
+        with _pytest.raises(RuntimeError):
+            run_timed("bad", always_fails, scale=1, runs=1, warmup=0, retries=1)
