@@ -238,7 +238,10 @@ def decode_fast(data: bytes) -> bytes:
         raise FastFormatError("bad magic")
     if version != VERSION:
         raise FastFormatError(f"unsupported version {version}")
-    sizes = struct.unpack_from(f"<{block_count}I", data, 20)
+    try:
+        sizes = struct.unpack_from(f"<{block_count}I", data, 20)
+    except struct.error as e:
+        raise FastFormatError(f"truncated size table: {e}") from e
     p = 20 + 4 * block_count
     block_size = 1 << block_log
     out = bytearray()

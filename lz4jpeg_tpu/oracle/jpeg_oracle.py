@@ -299,7 +299,13 @@ def reverse_zigzag_indices(width: int, height: int) -> np.ndarray:
     """Scatter permutation of ``reverse_zigzag_pattern`` (JPEG.c:729-764):
     ``out[sperm[k]] = zigzag_input[k]``.  Transcribed literally — its
     start/end formulas differ from the forward pass but enumerate the same
-    cells in the same order for every block shape the reference uses."""
+    cells in the same order for every block shape the reference uses.
+
+    Quirk (found by property testing): the formulas are only complete for
+    ``width <= height`` — for wide blocks they enumerate just ``height²``
+    cells, so the reference's inverse would drop coefficients.  The
+    reference never hits this (its blocks are 8×8 and 4×8, both w ≤ h);
+    the transcription preserves the behavior."""
     sperm: List[int] = []
     for s in range(width + height - 1):
         start = 0 if s < height else s - height + 1

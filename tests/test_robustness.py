@@ -1,0 +1,106 @@
+"""Corrupt/adversarial input handling: clean errors, never crashes.
+
+The reference crashes or silently corrupts on malformed streams (signed-
+char UB, unchecked reads — SURVEY.md §2.1); the framework decoders must
+reject them with typed errors instead.
+"""
+
+import numpy as np
+import pytest
+
+from lz4jpeg_tpu.formats import decode_frame_bytes, fast_frame
+from lz4jpeg_tpu.formats.jpeg_container import (
+    JPEGContainerError,
+    unpack_container,
+)
+from lz4jpeg_tpu.formats.lz4_frame import FormatError
+
+
+class TestParityFrameRobustness:
+    def test_truncated_frame(self, golden_compressed):
+        with pytest.raises((FormatError, IndexError)):
+            decode_frame_bytes(golden_compressed[:20])
+
+    def test_bad_block_size(self, golden_compressed):
+        data = bytearray(golden_compressed)
+        data[2] = 0xFF  # blow up the first block's byte_size
+        with pytest.raises(FormatError):
+            decode_frame_bytes(bytes(data))
+
+    def test_trailing_garbage(self, golden_compressed):
+        with pytest.raises(FormatError):
+            decode_frame_bytes(golden_compressed + b"\x00\x01")
+
+    def test_empty(self):
+        with pytest.raises((FormatError, IndexError)):
+            decode_frame_bytes(b"")
+
+
+class TestFastFrameRobustness:
+    def test_bad_magic(self):
+        with pytest.raises(fast_frame.FastFormatError):
+            fast_frame.decode_fast(b"NOPE" + b"\x00" * 20)
+
+    def test_truncated(self):
+        enc = fast_frame.encode_fast(b"hello world " * 100)
+        with pytest.raises((fast_frame.FastFormatError, IndexError)):
+            fast_frame.decode_fast(enc[: len(enc) // 2])
+
+    def test_bad_version(self):
+        enc = bytearray(fast_frame.encode_fast(b"x" * 100))
+        enc[4] = 99
+        with pytest.raises(fast_frame.FastFormatError):
+            fast_frame.decode_fast(bytes(enc))
+
+    def test_corrupt_offset(self):
+        # A match offset pointing before the stream start must be rejected.
+        enc = bytearray(fast_frame.encode_fast(b"abcdabcdabcdabcd" * 50))
+        # Flip payload bytes until the decoder objects (or output differs);
+        # it must never crash with an unhandled exception type.
+        for flip in range(24, min(len(enc), 60)):
+            mutated = bytearray(enc)
+            mutated[flip] ^= 0xFF
+            try:
+                fast_frame.decode_fast(bytes(mutated))
+            except (fast_frame.FastFormatError, IndexError):
+                pass
+
+    def test_native_rejects_corrupt(self):
+        from lz4jpeg_tpu.native import native_available, native_backend
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        enc = bytearray(native_backend().encode_fast(b"abcd" * 1000))
+        enc[10] ^= 0xFF  # corrupt raw_size
+        with pytest.raises(RuntimeError):
+            native_backend().decode_fast(bytes(enc), 4000)
+
+
+class TestContainerRobustness:
+    def test_bad_magic(self):
+        with pytest.raises(JPEGContainerError):
+            unpack_container(b"\x00" * 32)
+
+    def test_short(self):
+        with pytest.raises(JPEGContainerError):
+            unpack_container(b"\x01")
+
+    def test_truncated_channel(self, rng):
+        from lz4jpeg_tpu.config import JPEGConfig
+        from lz4jpeg_tpu.formats.jpeg_container import pack_container
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        pipe = JPEGPipeline(JPEGConfig(precision="exact", entropy="shared"))
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        blob = pack_container(pipe.encode(img))
+        with pytest.raises((JPEGContainerError, Exception)):
+            unpack_container(blob[: len(blob) - 10])
+
+
+class TestOracleRobustness:
+    def test_oracle_flags_ub_streams(self):
+        from lz4jpeg_tpu.oracle.lz4_oracle import ParityError, lz4_decode_oracle
+
+        # Frame block count >= 128 sign-extends in the reference decoder.
+        with pytest.raises(ParityError):
+            lz4_decode_oracle(bytes([0x80]) + b"\x00" * 10)
