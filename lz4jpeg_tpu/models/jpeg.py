@@ -292,6 +292,45 @@ class JPEGPipeline:
             self.entropy_encode(enc)
         return enc
 
+    def encode_batch(
+        self, rgbs: np.ndarray, entropy: Optional[bool] = True
+    ) -> List["JPEGEncoded"]:
+        """Encode a (B, H, W, 3) batch of same-size images in one dispatch.
+
+        The batch axis vmaps over the jitted forward — one device round
+        trip for the whole batch, which is what amortizes dispatch latency
+        in serving (see bench.py's 16-frame batches)."""
+        b, h, w = rgbs.shape[:3]
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        slim = jax.device_get(
+            jax.vmap(self._forward_rle)(jnp.asarray(rgbs))
+        )
+        out = []
+        for i in range(b):
+            enc = JPEGEncoded(
+                height=h,
+                width=w,
+                blocks_per_col=bpc,
+                blocks_per_row=bpr,
+                rle={
+                    c: np.asarray(slim[c][0][i], dtype=np.int32)
+                    for c in CHANNELS
+                },
+                rle_lengths={c: np.asarray(slim[c][1][i]) for c in CHANNELS},
+            )
+            if entropy:
+                self.entropy_encode(enc)
+            out.append(enc)
+        return out
+
+    def warmup(self, shapes: List[Tuple[int, int]]) -> None:
+        """Pre-compile the forward path for the given (H, W) image shapes
+        (serving cold-start control; pairs with the persistent XLA
+        compilation cache)."""
+        for h, w in shapes:
+            dummy = jnp.zeros((h, w, 3), jnp.uint8)
+            jax.block_until_ready(self._forward_rle(dummy))
+
     def entropy_encode(self, enc: JPEGEncoded) -> JPEGEncoded:
         mode = self.config.entropy
         enc.entropy_mode = mode

@@ -182,3 +182,30 @@ class TestBucketedEncode:
         np.testing.assert_array_equal(
             exact_pipeline.decode(enc), exact_pipeline.roundtrip(img)
         )
+
+
+class TestBatchAPI:
+    def test_encode_batch_matches_single(self, rng, exact_pipeline):
+        imgs = np.stack([noise(rng, 16, 16) for _ in range(3)])
+        batch = exact_pipeline.encode_batch(imgs, entropy=False)
+        for i in range(3):
+            single = exact_pipeline.encode(imgs[i], entropy=False)
+            for c in ("lum", "r", "b"):
+                np.testing.assert_array_equal(batch[i].rle[c], single.rle[c])
+                np.testing.assert_array_equal(
+                    batch[i].rle_lengths[c], single.rle_lengths[c]
+                )
+
+    def test_batch_decodes(self, rng, exact_pipeline):
+        imgs = np.stack([noise(rng, 8, 8) for _ in range(2)])
+        for enc, img in zip(exact_pipeline.encode_batch(imgs), imgs):
+            rec = exact_pipeline.decode(enc)
+            np.testing.assert_array_equal(
+                rec, exact_pipeline.roundtrip(img)
+            )
+
+    def test_warmup_compiles(self, exact_pipeline):
+        exact_pipeline.warmup([(8, 8)])
+        before = exact_pipeline._forward_rle._cache_size()
+        exact_pipeline.encode(np.zeros((8, 8, 3), np.uint8), entropy=False)
+        assert exact_pipeline._forward_rle._cache_size() == before
