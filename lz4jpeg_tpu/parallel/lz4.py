@@ -60,6 +60,42 @@ def sharded_block_parse(
     return gathered[:, 0].astype(bool), gathered[:, 1], gathered[:, 2]
 
 
+def sharded_fast_parse(
+    blocks: np.ndarray, lengths: np.ndarray, mesh: Mesh
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fast-mode (LZ4T) match finding with the block axis sharded.
+
+    Same layout contract as ``sharded_block_parse`` but running the
+    hash-bucket + rolling-hash matcher (``ops/lz4_fast.py``) per shard —
+    16 KiB blocks are the natural DP unit for large inputs.  ``blocks``
+    row count must be a multiple of the mesh size.
+    """
+    from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks
+
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(None, None),
+        check_vma=False,  # all_gather output is replicated (see above)
+    )
+    def parse_shard(shard, shard_lengths):
+        is_match, emit_len, emit_dist = fast_match_blocks(
+            shard, shard_lengths
+        )
+        stacked = jnp.stack(
+            [is_match.astype(jnp.int32), emit_len, emit_dist], axis=1
+        )
+        return jax.lax.all_gather(stacked, axis, axis=0, tiled=True)
+
+    gathered = np.asarray(
+        jax.jit(parse_shard)(jnp.asarray(blocks), jnp.asarray(lengths))
+    )
+    return gathered[:, 0].astype(bool), gathered[:, 1], gathered[:, 2]
+
+
 def sharded_compressed_sizes(
     emit_len: np.ndarray, is_match: np.ndarray, mesh: Mesh
 ) -> np.ndarray:

@@ -159,3 +159,49 @@ class TestShardedInverse:
             enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
         )
         np.testing.assert_array_equal(rec, single)
+
+
+class TestShardedFastLZ4:
+    def test_matches_unsharded(self, mesh, metamorphosis):
+        from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks, pad_blocks_fast
+        from lz4jpeg_tpu.parallel.lz4 import sharded_fast_parse
+        import jax.numpy as jnp
+
+        data = metamorphosis[: 8 * 16384]  # 8 blocks, one per device
+        padded, lengths = pad_blocks_fast(data)
+        s_match, s_len, s_dist = sharded_fast_parse(padded, lengths, mesh)
+        r_match, r_len, r_dist = map(
+            np.asarray,
+            fast_match_blocks(jnp.asarray(padded), jnp.asarray(lengths)),
+        )
+        np.testing.assert_array_equal(s_match, r_match.astype(bool))
+        np.testing.assert_array_equal(s_len, r_len)
+        np.testing.assert_array_equal(s_dist, r_dist)
+
+    def test_roundtrip_through_emitter(self, mesh, metamorphosis):
+        from lz4jpeg_tpu.formats.fast_frame import (
+            assemble_frame,
+            decode_fast,
+            emit_block_from_parse,
+        )
+        from lz4jpeg_tpu.ops.lz4_fast import TPU_BLOCK_LOG, pad_blocks_fast
+        from lz4jpeg_tpu.parallel.lz4 import sharded_fast_parse
+
+        data = metamorphosis[: 8 * 16384]
+        padded, lengths = pad_blocks_fast(data)
+        is_match, emit_len, emit_dist = sharded_fast_parse(
+            padded, lengths, mesh
+        )
+        payloads, raws = [], []
+        for bi in range(padded.shape[0]):
+            n = int(lengths[bi])
+            raw = bytes(padded[bi, :n].astype(np.uint8))
+            payloads.append(
+                emit_block_from_parse(
+                    raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
+                )
+            )
+            raws.append(raw)
+        enc = assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
+        assert decode_fast(enc) == data
+        assert len(enc) < len(data)
