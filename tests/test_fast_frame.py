@@ -95,3 +95,51 @@ class TestCodecFastMode:
         codec = LZ4Codec(LZ4Config(mode="fast"))
         assert codec.decode(golden_compressed) == golden_input
         assert codec.decode(codec.encode(golden_input * 2)) == golden_input * 2
+
+
+class TestFileStreaming:
+    def test_file_roundtrip(self, tmp_path, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "in.txt"
+        src.write_bytes(metamorphosis * 3)  # ~355 KB, 6 blocks
+        comp = tmp_path / "out.lz4t"
+        n = codec.encode_file(str(src), str(comp), chunk_blocks=2)
+        assert n == comp.stat().st_size < src.stat().st_size
+        out = tmp_path / "dec.txt"
+        assert codec.decode_file(str(comp), str(out)) == src.stat().st_size
+        assert out.read_bytes() == src.read_bytes()
+
+    def test_file_frame_matches_inmemory(self, tmp_path, metamorphosis):
+        # The streamed frame must be byte-identical to the one-shot frame.
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "in.txt"
+        src.write_bytes(metamorphosis)
+        comp = tmp_path / "out.lz4t"
+        codec.encode_file(str(src), str(comp))
+        assert comp.read_bytes() == codec.encode(metamorphosis)
+
+    def test_file_with_incompressible_blocks(self, tmp_path, rng):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        data = bytes(rng.integers(0, 256, size=100_000, dtype=np.uint8))
+        src = tmp_path / "noise.bin"
+        src.write_bytes(data)
+        comp = tmp_path / "noise.lz4t"
+        codec.encode_file(str(src), str(comp))
+        out = tmp_path / "noise.out"
+        codec.decode_file(str(comp), str(out))
+        assert out.read_bytes() == data
+
+    def test_parity_mode_refused(self, tmp_path):
+        codec = LZ4Codec(LZ4Config(mode="parity"))
+        with pytest.raises(ValueError):
+            codec.encode_file("x", "y")
+
+    def test_empty_file(self, tmp_path):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "empty"
+        src.write_bytes(b"")
+        comp = tmp_path / "empty.lz4t"
+        codec.encode_file(str(src), str(comp))
+        out = tmp_path / "empty.out"
+        assert codec.decode_file(str(comp), str(out)) == 0
+        assert out.read_bytes() == b""
