@@ -387,6 +387,58 @@ class JPEGPipeline:
         )
         return np.asarray(jax.device_get(rgb))
 
+    def _mcu_inverse_impl(self, rle, rle_lengths):
+        """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
+        dtype = self.config.dtype
+        fused = self.config.precision == "fast"
+        tables = {
+            "lum": LUMINANCE_QUANTIZATION_TABLE,
+            "r": CHROMINANCE_QUANTIZATION_TABLE,
+            "b": CHROMINANCE_QUANTIZATION_TABLE,
+        }
+        rec = {}
+        for name in CHANNELS:
+            h, w = _CHANNEL_SHAPES[name]
+            zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
+            if fused:
+                rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
+            else:
+                blocks = reverse_zigzag(zz.astype(dtype), w, h)
+                deq = dequantize(
+                    blocks.reshape(-1, h, w), tables[name].reshape(h, w)
+                )
+                rec[name] = idct2_batched(deq, dtype)
+        return rec
+
+    def decode_bucketed(
+        self, enc: JPEGEncoded, from_entropy: bool = True
+    ) -> np.ndarray:
+        """Like ``decode`` but the heavy MCU inverse compiles per
+        power-of-two MCU bucket (see ``encode_bucketed``)."""
+        if not hasattr(self, "_mcu_inverse"):
+            self._mcu_inverse = jax.jit(self._mcu_inverse_impl)
+        if from_entropy and enc.entropy_mode is not None:
+            rle, lengths = self.entropy_decode(enc)
+        else:
+            rle, lengths = enc.rle, enc.rle_lengths
+        n = enc.num_blocks
+        bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+        pad = bucket - n
+        rle_j = {
+            c: jnp.pad(jnp.asarray(rle[c]), ((0, pad), (0, 0)))
+            for c in CHANNELS
+        }
+        len_j = {
+            c: jnp.pad(jnp.asarray(lengths[c]), (0, pad)) for c in CHANNELS
+        }
+        rec = self._mcu_inverse(rle_j, len_j)
+        rgb = ycbcr_to_rgb_mcus(
+            rec["lum"][:n], rec["r"][:n], rec["b"][:n],
+            enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
+            self.config.dtype,
+        )
+        return np.asarray(jax.device_get(rgb))
+
     def roundtrip(self, rgb: np.ndarray) -> np.ndarray:
         """Full encode→decode, the reference's self-verification pattern
         (SURVEY.md §4)."""

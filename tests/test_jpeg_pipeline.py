@@ -209,3 +209,21 @@ class TestBatchAPI:
         before = exact_pipeline._forward_rle._cache_size()
         exact_pipeline.encode(np.zeros((8, 8, 3), np.uint8), entropy=False)
         assert exact_pipeline._forward_rle._cache_size() == before
+
+
+class TestBucketedDecode:
+    @pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (40, 16)])
+    def test_matches_plain_decode(self, rng, exact_pipeline, h, w):
+        img = noise(rng, h, w)
+        enc = exact_pipeline.encode(img)
+        np.testing.assert_array_equal(
+            exact_pipeline.decode_bucketed(enc), exact_pipeline.decode(enc)
+        )
+
+    def test_shares_bucket_compiles(self, rng, exact_pipeline):
+        enc1 = exact_pipeline.encode(noise(rng, 16, 16))
+        enc2 = exact_pipeline.encode(noise(rng, 8, 32))
+        exact_pipeline.decode_bucketed(enc1)
+        before = exact_pipeline._mcu_inverse._cache_size()
+        exact_pipeline.decode_bucketed(enc2)
+        assert exact_pipeline._mcu_inverse._cache_size() == before
