@@ -23,7 +23,7 @@ framing is a serial scan over block sizes exactly like the reference
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import numpy as np
