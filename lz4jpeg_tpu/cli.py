@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     dec = lz4_sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("output")
+    insp = lz4_sub.add_parser("inspect")
+    insp.add_argument("input")
     dec.add_argument(
         "--text",
         action="store_true",
@@ -90,6 +92,11 @@ def _cmd_lz4(args) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+    if args.action == "inspect":
+        from lz4jpeg_tpu.formats.lz4_frame import describe_frame
+
+        print(describe_frame(data))
+        return 0
     if args.action == "encode":
         codec = LZ4Codec(
             LZ4Config(mode=args.mode, block_length=args.block_length)

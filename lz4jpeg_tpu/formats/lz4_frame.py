@@ -200,3 +200,56 @@ def apply_sequences(blocks: List[Block]) -> bytes:
 def decode_frame_bytes(data: bytes) -> bytes:
     """One-shot frame decode: unpack + LZ77 reconstruction."""
     return apply_sequences(unpack_frame(data))
+
+
+def describe_frame(data: bytes) -> str:
+    """Human-readable frame structure — the framework's version of the
+    reference's ``print_{sequence,block,frame}_details`` log printers
+    (LZ4.c:220-287), driven from the wire bytes instead of in-memory
+    structs."""
+    from lz4jpeg_tpu.formats import fast_frame
+
+    if fast_frame.is_fast_frame(data):
+        return _describe_fast_frame(data)
+    blocks = unpack_frame(data)
+    lines = [f"parity frame: {len(blocks)} block(s), {len(data)} bytes"]
+    for bi, block in enumerate(blocks):
+        lines.append(
+            f"  block {bi}: {len(block.sequences)} sequence(s), "
+            f"{block.byte_size} bytes"
+        )
+        for si, seq in enumerate(block.sequences):
+            kind = (
+                "literals-only"
+                if seq.match_offset == 0
+                else f"match len={seq.match_length} offset={seq.match_offset}"
+            )
+            lines.append(
+                f"    seq {si}: token=0x{seq.token:02X} "
+                f"size={seq.byte_size} literals={len(seq.literals)} {kind}"
+            )
+    return "\n".join(lines)
+
+
+def _describe_fast_frame(data: bytes) -> str:
+    import struct
+
+    from lz4jpeg_tpu.formats.fast_frame import RAW_FLAG
+
+    _magic, version, block_log, _res, raw_size, block_count = (
+        struct.unpack_from("<IBBHQI", data, 0)
+    )
+    sizes = struct.unpack_from(f"<{block_count}I", data, 20)
+    lines = [
+        f"LZ4T frame v{version}: {raw_size} raw bytes, "
+        f"{block_count} x {1 << block_log} B block(s), "
+        f"{len(data)} compressed bytes "
+        f"(ratio {len(data) / raw_size:.3f})" if raw_size else
+        f"LZ4T frame v{version}: empty",
+    ]
+    for i, rec in enumerate(sizes):
+        if rec & RAW_FLAG:
+            lines.append(f"  block {i}: stored raw, {rec & ~RAW_FLAG} bytes")
+        else:
+            lines.append(f"  block {i}: compressed, {rec} bytes")
+    return "\n".join(lines)

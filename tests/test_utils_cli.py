@@ -248,3 +248,22 @@ class TestHarnessRetry:
 
         with _pytest.raises(RuntimeError):
             run_timed("bad", always_fails, scale=1, runs=1, warmup=0, retries=1)
+
+
+class TestInspect:
+    def test_parity_frame_details(self, golden_compressed, capsys, tmp_path):
+        src = tmp_path / "c.bin"
+        src.write_bytes(golden_compressed)
+        assert cli_main(["lz4", "inspect", str(src)]) == 0
+        out = capsys.readouterr().out
+        assert "parity frame: 2 block(s)" in out
+        assert "token=0xF1" in out  # first golden sequence
+
+    def test_fast_frame_details(self, metamorphosis, capsys, tmp_path):
+        from lz4jpeg_tpu.formats.fast_frame import encode_fast
+
+        src = tmp_path / "m.lz4t"
+        src.write_bytes(encode_fast(metamorphosis))
+        assert cli_main(["lz4", "inspect", str(src)]) == 0
+        out = capsys.readouterr().out
+        assert "LZ4T frame v1" in out and "compressed," in out
