@@ -108,6 +108,7 @@ class JPEGPipeline:
         # MCU-count bucket — bounded recompiles when serving many sizes.
         self._split_stage = jax.jit(self._split_impl)
         self._mcu_forward = jax.jit(self._mcu_forward_impl)
+        self._mcu_inverse = jax.jit(self._mcu_inverse_impl)
         if config.precision == "exact" and not jax.config.jax_enable_x64:
             # Without x64, float64 silently degrades to f32 and the pipeline
             # loses coefficient-exact parity — fail loudly instead.  Exact
@@ -415,8 +416,6 @@ class JPEGPipeline:
     ) -> np.ndarray:
         """Like ``decode`` but the heavy MCU inverse compiles per
         power-of-two MCU bucket (see ``encode_bucketed``)."""
-        if not hasattr(self, "_mcu_inverse"):
-            self._mcu_inverse = jax.jit(self._mcu_inverse_impl)
         if from_entropy and enc.entropy_mode is not None:
             rle, lengths = self.entropy_decode(enc)
         else:
