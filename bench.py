@@ -43,7 +43,7 @@ def main() -> None:
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
     size = 2048
-    batch = 16  # frames per dispatch: amortizes the host→device round trip
+    batch = 32  # frames per dispatch: amortizes the host→device round trip
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
         np.stack(
@@ -69,7 +69,7 @@ def main() -> None:
         float(forward(imgs))
 
     result = run_timed(
-        "jpeg_forward_2048_b16",
+        "jpeg_forward_2048_b32",
         step,
         scale=size,
         runs=10,
@@ -82,7 +82,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "jpeg_forward_throughput_2048_b16",
+                "metric": "jpeg_forward_throughput_2048_b32",
                 "value": round(result.throughput, 2),
                 "unit": "MPix/s",
                 "vs_baseline": round(result.throughput / baseline_mpix_s, 1),
