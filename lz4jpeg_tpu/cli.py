@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument(
                 "--entropy", choices=["shared", "per_block"], default="shared"
             )
+            sp.add_argument(
+                "--quality", type=int, default=None,
+                help="1-100 quant-table scaling (default: reference tables)",
+            )
         if name == "roundtrip":
             sp.add_argument(
                 "--visualize",
@@ -131,12 +135,14 @@ def _cmd_jpeg(args) -> int:
     if args.action == "decode":
         with open(args.input, "rb") as f:
             enc = unpack_container(f.read())
-        pipeline = JPEGPipeline(JPEGConfig())
+        pipeline = JPEGPipeline(JPEGConfig(quality=enc.quality))
         write_png(args.output, pipeline.decode(enc))
         print(f"decoded {enc.width}x{enc.height} -> {args.output}")
         return 0
 
-    cfg = JPEGConfig(precision=args.precision, entropy=args.entropy)
+    cfg = JPEGConfig(
+        precision=args.precision, entropy=args.entropy, quality=args.quality
+    )
     if cfg.precision == "exact":
         import jax
 

@@ -55,12 +55,18 @@ class JPEGConfig:
     # like the reference (JPEG.c:1035-1097); "shared" builds one canonical
     # codebook per channel from global statistics and vector-encodes on TPU.
     entropy: str = "shared"
+    # None = the reference's fixed tables (JPEG.c:12-27), required for
+    # parity.  1–100 scales them with the standard libjpeg quality curve
+    # (a framework extension; the reference has no quality control).
+    quality: Optional[int] = None
 
     def __post_init__(self):
         if self.precision not in ("exact", "fast"):
             raise ValueError(f"unknown precision: {self.precision!r}")
         if self.entropy not in ("per_block", "shared"):
             raise ValueError(f"unknown entropy mode: {self.entropy!r}")
+        if self.quality is not None and not 1 <= self.quality <= 100:
+            raise ValueError(f"quality must be in [1, 100]: {self.quality}")
 
     @property
     def dtype(self):

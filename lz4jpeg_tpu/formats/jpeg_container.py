@@ -12,8 +12,10 @@ the wire format:
     Channel   := codebook_len:u32le codebook (see CanonicalCodebook)
                  nbits:u32le packed_len:u32le packed bytes
 
-Decode needs nothing else: block boundaries are recovered from the RLE
-counts (each block's pair counts sum to its coefficient count).
+The header's third byte carries the quality setting (0 = the reference's
+fixed tables); decode rebuilds the quant tables from it.  Block boundaries
+are recovered from the RLE counts (each block's pair counts sum to its
+coefficient count).
 """
 
 from __future__ import annotations
@@ -44,7 +46,10 @@ def pack_container(enc: "JPEGEncoded") -> bytes:
             "artifacts, like the reference)"
         )
     out = bytearray()
-    out += struct.pack("<IBBII", MAGIC, VERSION, 0, enc.height, enc.width)
+    quality = getattr(enc, "quality", None) or 0
+    out += struct.pack(
+        "<IBBII", MAGIC, VERSION, quality, enc.height, enc.width
+    )
     for c in ("lum", "r", "b"):
         codebook, packed, nbits = enc.shared_streams[c]
         blob = codebook.serialize()
@@ -61,7 +66,9 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
 
     if len(data) < 14:
         raise JPEGContainerError("container too short")
-    magic, version, _res, height, width = struct.unpack_from("<IBBII", data, 0)
+    magic, version, quality, height, width = struct.unpack_from(
+        "<IBBII", data, 0
+    )
     if magic != MAGIC:
         raise JPEGContainerError("bad magic")
     if version != VERSION:
@@ -88,6 +95,7 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
     if p != len(data):
         raise JPEGContainerError("trailing bytes after container")
     return JPEGEncoded(
+        quality=quality or None,
         height=height,
         width=width,
         blocks_per_col=bpc,

@@ -52,6 +52,7 @@ from lz4jpeg_tpu.ops.quantize import (
     LUMINANCE_QUANTIZATION_TABLE,
     dequantize,
     quantize,
+    scale_table,
 )
 from lz4jpeg_tpu.ops.rle import rle_decode_batched, rle_encode_batched
 from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
@@ -77,6 +78,9 @@ class JPEGEncoded:
     shared_streams: Optional[Dict[str, Tuple[CanonicalCodebook, bytes, int]]] = None
     # per_block mode: per-channel list of '0'/'1' strings (parity artifact).
     per_block_bits: Optional[Dict[str, List[str]]] = None
+    # Quality setting the quant tables were scaled with (None = reference
+    # tables); decode must use a pipeline with the same quality.
+    quality: Optional[int] = None
 
     @property
     def num_blocks(self) -> int:
@@ -120,6 +124,9 @@ class JPEGPipeline:
                 'use precision="fast" on TPU'
             )
         self.config = config
+        lum_t = scale_table(LUMINANCE_QUANTIZATION_TABLE, config.quality)
+        chr_t = scale_table(CHROMINANCE_QUANTIZATION_TABLE, config.quality)
+        self._tables = {"lum": lum_t, "r": chr_t, "b": chr_t}
         self._forward = jax.jit(self._forward_impl)
         self._inverse = jax.jit(
             self._inverse_impl, static_argnames=("bpc", "bpr", "height", "width")
@@ -144,11 +151,7 @@ class JPEGPipeline:
         cb_sub = chroma_subsample_422(cb)
         lum, r, b = split_mcus(y, cr_sub, cb_sub)
         out = {}
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
+        tables = self._tables
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             h, w = _CHANNEL_SHAPES[name]
             if fused:
@@ -172,11 +175,7 @@ class JPEGPipeline:
     def _mcu_forward_impl(self, lum, r, b):
         """MCU batches → per-channel RLE streams (per-bucket compile)."""
         out = {}
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
+        tables = self._tables
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
@@ -220,6 +219,7 @@ class JPEGPipeline:
             rle_lengths={
                 c: np.asarray(streams[c][1][:n]) for c in CHANNELS
             },
+            quality=self.config.quality,
         )
         if entropy:
             self.entropy_encode(enc)
@@ -252,11 +252,7 @@ class JPEGPipeline:
         JPEG.c:1348-1428."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
+        tables = self._tables
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
@@ -288,6 +284,7 @@ class JPEGPipeline:
             blocks_per_row=bpr,
             rle={c: np.asarray(slim[c][0], dtype=np.int32) for c in CHANNELS},
             rle_lengths={c: np.asarray(slim[c][1]) for c in CHANNELS},
+            quality=self.config.quality,
         )
         if entropy:
             self.entropy_encode(enc)
@@ -318,6 +315,7 @@ class JPEGPipeline:
                     for c in CHANNELS
                 },
                 rle_lengths={c: np.asarray(slim[c][1][i]) for c in CHANNELS},
+                quality=self.config.quality,
             )
             if entropy:
                 self.entropy_encode(enc)
@@ -392,11 +390,7 @@ class JPEGPipeline:
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
+        tables = self._tables
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]

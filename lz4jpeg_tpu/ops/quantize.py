@@ -33,6 +33,23 @@ from lz4jpeg_tpu.oracle.jpeg_oracle import (  # noqa: F401  (re-export)
 _SNAP_EPS = {jnp.float32.dtype: 1e-4, jnp.float64.dtype: 1e-9}
 
 
+def scale_table(table, quality):
+    """Standard libjpeg quality scaling (framework extension; the
+    reference's tables are compile-time constants, JPEG.c:12-27).
+
+    ``quality`` None returns the table unchanged; 1–100 applies
+    ``S = 5000/q`` below 50 else ``200 - 2q``, then
+    ``clip((t*S + 50)//100, 1, 255)``.
+    """
+    import numpy as np
+
+    if quality is None:
+        return table
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.asarray(table, np.int64)
+    return np.clip((t * s + 50) // 100, 1, 255)
+
+
 def quantize(coefficients: jnp.ndarray, table, snap: bool = True) -> jnp.ndarray:
     """Elementwise divide + truncate toward zero.  ``table`` broadcasts over
     the batch: pass it flat for (N, L) inputs or shaped for (N, H, W)."""

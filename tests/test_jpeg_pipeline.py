@@ -227,3 +227,64 @@ class TestBucketedDecode:
         before = exact_pipeline._mcu_inverse._cache_size()
         exact_pipeline.decode_bucketed(enc2)
         assert exact_pipeline._mcu_inverse._cache_size() == before
+
+
+class TestQuality:
+    def test_default_is_reference_tables(self, exact_pipeline):
+        from lz4jpeg_tpu.ops.quantize import LUMINANCE_QUANTIZATION_TABLE
+
+        np.testing.assert_array_equal(
+            exact_pipeline._tables["lum"], LUMINANCE_QUANTIZATION_TABLE
+        )
+
+    def test_scale_table_endpoints(self):
+        from lz4jpeg_tpu.ops.quantize import (
+            LUMINANCE_QUANTIZATION_TABLE,
+            scale_table,
+        )
+
+        t50 = scale_table(LUMINANCE_QUANTIZATION_TABLE, 50)
+        np.testing.assert_array_equal(t50, LUMINANCE_QUANTIZATION_TABLE)
+        t100 = scale_table(LUMINANCE_QUANTIZATION_TABLE, 100)
+        assert t100.max() == 1  # near-lossless
+        t1 = scale_table(LUMINANCE_QUANTIZATION_TABLE, 1)
+        assert t1.min() >= LUMINANCE_QUANTIZATION_TABLE.min()
+
+    def test_quality_tradeoff(self, rng):
+        # Higher quality → better PSNR and larger streams on a smooth image.
+        from lz4jpeg_tpu.utils.metrics import psnr
+
+        x = np.linspace(0, 255, 64)
+        img = np.stack(
+            [np.add.outer(x, x) / 2] * 3, axis=-1
+        ).astype(np.uint8)
+        results = {}
+        for q in (10, 90):
+            pipe = JPEGPipeline(
+                JPEGConfig(precision="exact", entropy="shared", quality=q)
+            )
+            enc = pipe.encode(img)
+            results[q] = (psnr(img, pipe.decode(enc)), enc.compressed_bytes())
+        assert results[90][0] > results[10][0]  # better fidelity
+        assert results[90][1] > results[10][1]  # more bytes
+
+    def test_quality_container_roundtrip(self, rng):
+        from lz4jpeg_tpu.formats.jpeg_container import (
+            pack_container,
+            unpack_container,
+        )
+
+        pipe = JPEGPipeline(
+            JPEGConfig(precision="exact", entropy="shared", quality=75)
+        )
+        img = noise(rng, 16, 16)
+        enc = pipe.encode(img)
+        dec = unpack_container(pack_container(enc))
+        assert dec.quality == 75
+        np.testing.assert_array_equal(pipe.decode(dec), pipe.decode(enc))
+
+    def test_invalid_quality_rejected(self):
+        with pytest.raises(ValueError):
+            JPEGConfig(quality=0)
+        with pytest.raises(ValueError):
+            JPEGConfig(quality=101)
