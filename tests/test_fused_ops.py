@@ -125,3 +125,25 @@ class TestPallasKernel:
             fused_forward_jnp(jnp.asarray(tiles), _table(8), 8, 8, jnp.float32)
         )
         np.testing.assert_array_equal(ours, ref)
+
+
+class TestFusedWithScaledTables:
+    @pytest.mark.parametrize("quality", [10, 75, 95])
+    def test_fused_matches_staged_at_quality(self, rng, quality):
+        from lz4jpeg_tpu.ops.quantize import scale_table
+
+        table = scale_table(LUMINANCE_QUANTIZATION_TABLE, quality)
+        tiles = rng.integers(0, 256, size=(32, 8, 8), dtype=np.uint8)
+        fused = np.asarray(
+            fused_forward_jnp(jnp.asarray(tiles), table, 8, 8, jnp.float64)
+        )
+        staged = np.asarray(
+            zigzag(
+                quantize(
+                    dct2_batched(jnp.asarray(tiles), jnp.float64),
+                    table.reshape(8, 8),
+                ),
+                8, 8,
+            )
+        )
+        np.testing.assert_array_equal(fused, staged)

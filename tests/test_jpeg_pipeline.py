@@ -288,3 +288,19 @@ class TestQuality:
             JPEGConfig(quality=0)
         with pytest.raises(ValueError):
             JPEGConfig(quality=101)
+
+
+class TestSoak:
+    def test_64x64_full_roundtrip_vs_oracle(self, rng, exact_pipeline):
+        """Larger integration soak: 64 MCUs through encode, entropy,
+        container, decode — reconstruction oracle-exact end to end."""
+        from lz4jpeg_tpu.formats.jpeg_container import (
+            pack_container,
+            unpack_container,
+        )
+
+        img = noise(rng, 64, 64)
+        ref_rec, _ = oracle.jpeg_roundtrip_oracle(img, snap_ties=True)
+        enc = exact_pipeline.encode(img)
+        restored = unpack_container(pack_container(enc))
+        np.testing.assert_array_equal(exact_pipeline.decode(restored), ref_rec)
