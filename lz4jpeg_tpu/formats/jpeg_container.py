@@ -80,12 +80,15 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
     rle = {}
     lengths = {}
     for c in ("lum", "r", "b"):
-        (blob_len,) = struct.unpack_from("<I", data, p)
-        p += 4
-        codebook, _ = CanonicalCodebook.deserialize(data[p : p + blob_len])
-        p += blob_len
-        nbits, packed_len = struct.unpack_from("<II", data, p)
-        p += 8
+        try:
+            (blob_len,) = struct.unpack_from("<I", data, p)
+            p += 4
+            codebook, _ = CanonicalCodebook.deserialize(data[p : p + blob_len])
+            p += blob_len
+            nbits, packed_len = struct.unpack_from("<II", data, p)
+            p += 8
+        except (struct.error, ValueError, IndexError) as e:
+            raise JPEGContainerError(f"truncated channel {c!r}: {e}") from e
         packed = data[p : p + packed_len]
         p += packed_len
         shared[c] = (codebook, packed, nbits)

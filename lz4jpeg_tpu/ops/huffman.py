@@ -112,6 +112,15 @@ def build_canonical_codebook(symbols: np.ndarray) -> CanonicalCodebook:
         depths[i] = d
     order = np.lexsort((values, depths))
     lengths = depths[order]
+    if lengths[-1] > 32:
+        # Codewords are uint32 end to end (host packer, native walker,
+        # device packer); >32-bit codes require a pathological
+        # Fibonacci-like frequency skew that real RLE streams cannot
+        # produce — fail loudly rather than overflow silently.
+        raise ValueError(
+            f"Huffman code length {int(lengths[-1])} exceeds the 32-bit "
+            "codeword limit"
+        )
     return CanonicalCodebook(
         values[order].astype(np.int32), lengths, _canonical_codes(lengths)
     )

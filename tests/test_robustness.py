@@ -104,3 +104,19 @@ class TestOracleRobustness:
         # Frame block count >= 128 sign-extends in the reference decoder.
         with pytest.raises(ParityError):
             lz4_decode_oracle(bytes([0x80]) + b"\x00" * 10)
+
+
+class TestHuffmanLimits:
+    def test_overlong_codes_rejected(self):
+        # Fibonacci-like counts force Huffman depth > 32; the codebook
+        # builder must refuse rather than overflow uint32 codewords.
+        from lz4jpeg_tpu.ops.huffman import build_canonical_codebook
+
+        fib = [1, 1]
+        while len(fib) < 40:
+            fib.append(fib[-1] + fib[-2])
+        symbols = np.concatenate(
+            [np.full(c, i, np.int64) for i, c in enumerate(fib)]
+        )
+        with pytest.raises(ValueError, match="32-bit"):
+            build_canonical_codebook(symbols)
