@@ -18,18 +18,8 @@ import time
 from typing import Callable, Dict, List, Optional
 
 
-def trimmed_mean(times: List[float]) -> float:
-    """Mean excluding the single min and max (Experiment/...c:11-25)."""
-    if len(times) <= 2:
-        return sum(times) / len(times)
-    return (sum(times) - min(times) - max(times)) / (len(times) - 2)
-
-
-def median(times: List[float]) -> float:
-    s = sorted(times)
-    n = len(s)
-    mid = n // 2
-    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+from lz4jpeg_tpu.utils.stats import median, trimmed_mean  # noqa: F401
+# (single source of truth for the reference-mirroring statistics)
 
 
 @dataclasses.dataclass

@@ -167,12 +167,18 @@ def decompress_block(payload: bytes, raw_size: int) -> bytes:
     out = bytearray()
     p = 0
     n = len(payload)
+
+    def need(k):
+        if p + k > n:
+            raise FastFormatError("truncated sequence")
+
     while p < n:
         token = payload[p]
         p += 1
         lit = token >> 4
         if lit == 15:
             while True:
+                need(1)
                 b = payload[p]
                 p += 1
                 lit += b
@@ -184,6 +190,7 @@ def decompress_block(payload: bytes, raw_size: int) -> bytes:
         p += lit
         if p == n:
             break  # final literals-only sequence
+        need(2)
         offset = payload[p] | (payload[p + 1] << 8)
         p += 2
         if offset == 0 or offset > len(out):
@@ -191,6 +198,7 @@ def decompress_block(payload: bytes, raw_size: int) -> bytes:
         ml = (token & 0xF) + 4
         if token & 0xF == 15:
             while True:
+                need(1)
                 b = payload[p]
                 p += 1
                 ml += b

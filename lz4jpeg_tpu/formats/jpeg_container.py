@@ -87,14 +87,20 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
             p += blob_len
             nbits, packed_len = struct.unpack_from("<II", data, p)
             p += 8
-        except (struct.error, ValueError, IndexError) as e:
-            raise JPEGContainerError(f"truncated channel {c!r}: {e}") from e
-        packed = data[p : p + packed_len]
-        p += packed_len
-        shared[c] = (codebook, packed, nbits)
-        symbols = unpack_symbols(packed, nbits, codebook)
-        h, w = _CHANNEL_SHAPES[c]
-        rle[c], lengths[c] = _split_symbols(symbols, num_blocks, 2 * h * w, h * w)
+            packed = data[p : p + packed_len]
+            if len(packed) != packed_len:
+                raise JPEGContainerError(f"truncated stream for {c!r}")
+            p += packed_len
+            shared[c] = (codebook, packed, nbits)
+            symbols = unpack_symbols(packed, nbits, codebook)
+            h, w = _CHANNEL_SHAPES[c]
+            rle[c], lengths[c] = _split_symbols(
+                symbols, num_blocks, 2 * h * w, h * w
+            )
+        except JPEGContainerError:
+            raise
+        except (struct.error, ValueError, IndexError, RuntimeError) as e:
+            raise JPEGContainerError(f"corrupt channel {c!r}: {e}") from e
     if p != len(data):
         raise JPEGContainerError("trailing bytes after container")
     return JPEGEncoded(

@@ -122,6 +122,13 @@ def pack_frame(blocks: List[Block]) -> bytes:
 
 def unpack_sequence(data: bytes, start: int) -> tuple[Sequence, int]:
     """Parse one sequence starting at ``start``; returns (seq, next_offset)."""
+    n = len(data)
+
+    def need(pos, k):
+        if pos + k > n:
+            raise FormatError("truncated sequence")
+
+    need(start, 3)
     token = data[start]
     byte_size = data[start + 1] | (data[start + 2] << 8)
     p = start + 3
@@ -130,23 +137,28 @@ def unpack_sequence(data: bytes, start: int) -> tuple[Sequence, int]:
     if lit_count >= 15:
         # The encoder emits (count-15) & 0xFF as one or two bytes: 255 only
         # when the wrapped remainder is exactly 255 (LZ4.c:371-386).
+        need(p, 1)
         while data[p] == 255:
             lit_count += 255
             p += 1
+            need(p, 1)
         lit_count += data[p]
         p += 1
     literals = data[p : p + lit_count]
     if len(literals) != lit_count:
         raise FormatError("truncated literals")
     p += lit_count
+    need(p, 2)
     offset = data[p] | (data[p + 1] << 8)
     p += 2
     match_length = match_bits
     if offset != 0:
         if match_bits >= 15:
+            need(p, 1)
             while data[p] == 255:
                 match_length += 255
                 p += 1
+                need(p, 1)
             match_length += data[p]
             p += 1
         match_length += 4
@@ -161,10 +173,14 @@ def unpack_sequence(data: bytes, start: int) -> tuple[Sequence, int]:
 
 
 def unpack_frame(data: bytes) -> List[Block]:
+    if not data:
+        raise FormatError("empty frame")
     block_count = data[0]
     p = 1
     blocks: List[Block] = []
     for i in range(block_count):
+        if p + 3 > len(data):
+            raise FormatError(f"truncated block header at block {i}")
         seq_count = data[p]
         block_size = data[p + 1] | (data[p + 2] << 8)
         end = p + block_size

@@ -62,6 +62,37 @@ CHANNELS = ("lum", "r", "b")
 _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
 
 
+def scaled_tables(quality):
+    """Per-channel quant tables for a quality setting (None = reference)."""
+    lum_t = scale_table(LUMINANCE_QUANTIZATION_TABLE, quality)
+    chr_t = scale_table(CHROMINANCE_QUANTIZATION_TABLE, quality)
+    return {"lum": lum_t, "r": chr_t, "b": chr_t}
+
+
+def forward_channel(tiles, name, tables, dtype, fused):
+    """One channel's MCU batch → quantized zigzag stream.
+
+    The single source of truth for the fused-vs-staged dispatch, shared by
+    the pipeline's three forward variants and the sharded path."""
+    h, w = _CHANNEL_SHAPES[name]
+    if fused:
+        return fused_forward_jnp(tiles, tables[name], w, h, dtype)
+    coeff = dct2_batched(tiles, dtype)
+    q = quantize(coeff, tables[name].reshape(h, w))
+    return zigzag(q, w, h)
+
+
+def inverse_channel(zz, name, tables, dtype, fused):
+    """One channel's zigzag stream → pixel tiles (inverse of
+    ``forward_channel``)."""
+    h, w = _CHANNEL_SHAPES[name]
+    if fused:
+        return fused_inverse_jnp(zz, tables[name], w, h, dtype)
+    blocks = reverse_zigzag(zz.astype(dtype), w, h)
+    deq = dequantize(blocks.reshape(-1, h, w), tables[name].reshape(h, w))
+    return idct2_batched(deq, dtype)
+
+
 @dataclasses.dataclass
 class JPEGEncoded:
     """Encoded image: RLE streams (always) + optional entropy bitstreams."""
@@ -124,9 +155,7 @@ class JPEGPipeline:
                 'use precision="fast" on TPU'
             )
         self.config = config
-        lum_t = scale_table(LUMINANCE_QUANTIZATION_TABLE, config.quality)
-        chr_t = scale_table(CHROMINANCE_QUANTIZATION_TABLE, config.quality)
-        self._tables = {"lum": lum_t, "r": chr_t, "b": chr_t}
+        self._tables = scaled_tables(config.quality)
         self._forward = jax.jit(self._forward_impl)
         self._inverse = jax.jit(
             self._inverse_impl, static_argnames=("bpc", "bpr", "height", "width")
@@ -151,15 +180,8 @@ class JPEGPipeline:
         cb_sub = chroma_subsample_422(cb)
         lum, r, b = split_mcus(y, cr_sub, cb_sub)
         out = {}
-        tables = self._tables
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
-            h, w = _CHANNEL_SHAPES[name]
-            if fused:
-                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
-            else:
-                coeff = dct2_batched(tiles, dtype)
-                q = quantize(coeff, tables[name].reshape(h, w))
-                zz = zigzag(q, w, h)
+            zz = forward_channel(tiles, name, self._tables, dtype, fused)
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
@@ -175,17 +197,10 @@ class JPEGPipeline:
     def _mcu_forward_impl(self, lum, r, b):
         """MCU batches → per-channel RLE streams (per-bucket compile)."""
         out = {}
-        tables = self._tables
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
-            h, w = _CHANNEL_SHAPES[name]
-            if fused:
-                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
-            else:
-                coeff = dct2_batched(tiles, dtype)
-                q = quantize(coeff, tables[name].reshape(h, w))
-                zz = zigzag(q, w, h)
+            zz = forward_channel(tiles, name, self._tables, dtype, fused)
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = (pairs.astype(jnp.int16), lengths.astype(jnp.int32))
         return out
@@ -252,19 +267,11 @@ class JPEGPipeline:
         JPEG.c:1348-1428."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = self._tables
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
             zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
-            if fused:
-                rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
-            else:
-                blocks = reverse_zigzag(zz.astype(dtype), w, h)
-                deq = dequantize(
-                    blocks.reshape(-1, h, w), tables[name].reshape(h, w)
-                )
-                rec[name] = idct2_batched(deq, dtype)
+            rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return ycbcr_to_rgb_mcus(
             rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
         )
@@ -390,19 +397,11 @@ class JPEGPipeline:
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = self._tables
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
             zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
-            if fused:
-                rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
-            else:
-                blocks = reverse_zigzag(zz.astype(dtype), w, h)
-                deq = dequantize(
-                    blocks.reshape(-1, h, w), tables[name].reshape(h, w)
-                )
-                rec[name] = idct2_batched(deq, dtype)
+            rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return rec
 
     def decode_bucketed(

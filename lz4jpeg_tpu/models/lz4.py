@@ -231,6 +231,8 @@ class LZ4Codec:
             )
             if magic != MAGIC:
                 raise FastFormatError("bad magic")
+            if version != VERSION:
+                raise FastFormatError(f"unsupported version {version}")
             sizes = struct.unpack(f"<{block_count}I", src.read(4 * block_count))
             block_size = 1 << block_log
             written = 0

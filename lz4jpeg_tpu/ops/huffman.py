@@ -141,7 +141,10 @@ def pack_symbols(
     # Map symbols → codebook rows via searchsorted on the symbol-sorted view.
     sym_order = np.argsort(codebook.symbols, kind="stable")
     sorted_syms = codebook.symbols[sym_order]
-    rows = sym_order[np.searchsorted(sorted_syms, symbols)]
+    idx = np.minimum(
+        np.searchsorted(sorted_syms, symbols), len(sorted_syms) - 1
+    )
+    rows = sym_order[idx]
     if not np.array_equal(codebook.symbols[rows], symbols):
         raise ValueError("symbol outside codebook")
     lengths = codebook.lengths[rows]
@@ -181,6 +184,11 @@ def pack_symbols_device(
     jit recompiles only per capacity bucket, not per input.  Returns
     ``(packed uint8[pad_bits//8], total_bits)``; bits past ``total_bits``
     are zero, matching ``np.packbits``.
+
+    If ``total_bits > pad_bits`` the buffer holds only a truncated prefix —
+    the caller MUST check the returned ``total_bits`` against its bucket
+    (it is a traced scalar, so the check happens host-side after
+    ``device_get``); ``unpack_symbols`` on a truncated buffer fails.
     """
     import jax.numpy as jnp
 

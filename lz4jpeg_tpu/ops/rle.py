@@ -54,11 +54,16 @@ def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     onehot = (
         (run_id[:, :, None] == idx[None, None, :]) & starts[:, :, None]
     ).astype(jnp.float32)
+    # HIGHEST precision: the TPU default (bf16 multiplies) cannot
+    # represent values above 256 exactly, which quantized coefficients
+    # reach at high quality settings.
     counts = jnp.einsum(
-        "bil,bi->bl", onehot, run_len.astype(jnp.float32)
+        "bil,bi->bl", onehot, run_len.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     run_values = jnp.einsum(
-        "bil,bi->bl", onehot, x.astype(jnp.float32)
+        "bil,bi->bl", onehot, x.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     num_runs = jnp.sum(starts, axis=1, dtype=jnp.int32)
     pairs = jnp.stack([counts, run_values], axis=2).reshape(n, 2 * length)

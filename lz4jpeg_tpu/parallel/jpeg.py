@@ -20,16 +20,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lz4jpeg_tpu.config import JPEGConfig
-from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr, split_mcus
-from lz4jpeg_tpu.ops.dct import dct2_batched
-from lz4jpeg_tpu.ops.fused import fused_forward_jnp
-from lz4jpeg_tpu.ops.quantize import (
-    CHROMINANCE_QUANTIZATION_TABLE,
-    LUMINANCE_QUANTIZATION_TABLE,
-    quantize,
+from lz4jpeg_tpu.models.jpeg import (
+    forward_channel,
+    inverse_channel,
+    scaled_tables,
 )
+from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr, split_mcus
 from lz4jpeg_tpu.ops.rle import rle_encode_batched
-from lz4jpeg_tpu.ops.zigzag import zigzag
 from lz4jpeg_tpu.parallel.mesh import pad_to_devices
 
 _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
@@ -48,6 +45,7 @@ class ShardedJPEGForward:
     def __init__(self, mesh: Mesh, config: JPEGConfig = JPEGConfig()):
         self.mesh = mesh
         self.config = config
+        self._tables = scaled_tables(config.quality)
         axis = mesh.axis_names[0]
         self._shard = NamedSharding(mesh, P(axis))
         self._mcu_stage = jax.jit(
@@ -59,20 +57,9 @@ class ShardedJPEGForward:
     def _mcu_stage_impl(self, lum, r, b):
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
         out = {}
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
-            h, w = _CHANNEL_SHAPES[name]
-            if fused:
-                zz = fused_forward_jnp(tiles, tables[name], w, h, dtype)
-            else:
-                coeff = dct2_batched(tiles, dtype)
-                q = quantize(coeff, tables[name].reshape(h, w))
-                zz = zigzag(q, w, h)
+            zz = forward_channel(tiles, name, self._tables, dtype, fused)
             pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
@@ -93,19 +80,10 @@ class ShardedJPEGForward:
         — and then loses the results to its by-value bug; here the shard is
         the unit and the merge is the output sharding."""
         from lz4jpeg_tpu.ops.color import ycbcr_to_rgb_mcus
-        from lz4jpeg_tpu.ops.fused import fused_inverse_jnp
-        from lz4jpeg_tpu.ops.dct import idct2_batched
-        from lz4jpeg_tpu.ops.quantize import dequantize
         from lz4jpeg_tpu.ops.rle import rle_decode_batched
-        from lz4jpeg_tpu.ops.zigzag import reverse_zigzag
 
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        tables = {
-            "lum": LUMINANCE_QUANTIZATION_TABLE,
-            "r": CHROMINANCE_QUANTIZATION_TABLE,
-            "b": CHROMINANCE_QUANTIZATION_TABLE,
-        }
         n_dev = self.mesh.devices.size
         n_mcus = bpc * bpr
 
@@ -114,14 +92,9 @@ class ShardedJPEGForward:
             for name in ("lum", "r", "b"):
                 h, w = _CHANNEL_SHAPES[name]
                 zz = rle_decode_batched(rle_j[name], len_j[name], h * w)
-                if fused:
-                    rec[name] = fused_inverse_jnp(zz, tables[name], w, h, dtype)
-                else:
-                    blocks = reverse_zigzag(zz.astype(dtype), w, h)
-                    deq = dequantize(
-                        blocks.reshape(-1, h, w), tables[name].reshape(h, w)
-                    )
-                    rec[name] = idct2_batched(deq, dtype)
+                rec[name] = inverse_channel(
+                    zz, name, self._tables, dtype, fused
+                )
             return rec
 
         padded_rle, padded_len = {}, {}

@@ -59,9 +59,16 @@ def ordered_allgather_payloads(
     the reference's pre-sized ordered gather array.
     """
     import jax
-    from jax.experimental import multihost_utils
 
     max_len = max((len(p) for p in local_payloads), default=0)
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        # Payload width must be identical on every process for the
+        # allgather; take the global maximum first.
+        max_len = int(
+            multihost_utils.process_allgather(np.asarray([max_len])).max()
+        )
     local_n = len(local_payloads)
     padded = np.zeros((local_n, max(max_len, 1)), np.uint8)
     meta = np.zeros((local_n, 2), np.int64)  # (global index, length)

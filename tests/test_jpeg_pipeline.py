@@ -304,3 +304,18 @@ class TestSoak:
         enc = exact_pipeline.encode(img)
         restored = unpack_container(pack_container(enc))
         np.testing.assert_array_equal(exact_pipeline.decode(restored), ref_rec)
+
+
+class TestDevicePackOverflow:
+    def test_total_bits_reports_overflow(self, rng):
+        # The documented contract: a too-small pad_bits bucket yields a
+        # truncated buffer, detectable because total_bits > pad_bits.
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook,
+            pack_symbols_device,
+        )
+
+        symbols = rng.integers(-40, 40, size=500).astype(np.int32)
+        cb = build_canonical_codebook(symbols)
+        packed, total = pack_symbols_device(symbols, cb, 64)
+        assert int(total) > 64  # caller must re-pack with a larger bucket

@@ -205,3 +205,16 @@ class TestShardedFastLZ4:
         enc = assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
         assert decode_fast(enc) == data
         assert len(enc) < len(data)
+
+
+class TestShardedQuality:
+    def test_sharded_respects_quality(self, rng, mesh):
+        """Regression: the sharded path must scale quant tables exactly
+        like JPEGPipeline (it previously hardcoded reference tables)."""
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        cfg = JPEGConfig(precision="exact", quality=40)
+        stages, n = ShardedJPEGForward(mesh, cfg)(img)
+        ref = JPEGPipeline(cfg).forward_stages(img)
+        np.testing.assert_array_equal(stages["lum"]["zz"][:n], ref["lum"]["zz"])

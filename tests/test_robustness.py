@@ -18,7 +18,7 @@ from lz4jpeg_tpu.formats.lz4_frame import FormatError
 
 class TestParityFrameRobustness:
     def test_truncated_frame(self, golden_compressed):
-        with pytest.raises((FormatError, IndexError)):
+        with pytest.raises(FormatError):
             decode_frame_bytes(golden_compressed[:20])
 
     def test_bad_block_size(self, golden_compressed):
@@ -32,7 +32,7 @@ class TestParityFrameRobustness:
             decode_frame_bytes(golden_compressed + b"\x00\x01")
 
     def test_empty(self):
-        with pytest.raises((FormatError, IndexError)):
+        with pytest.raises(FormatError):
             decode_frame_bytes(b"")
 
 
@@ -43,8 +43,17 @@ class TestFastFrameRobustness:
 
     def test_truncated(self):
         enc = fast_frame.encode_fast(b"hello world " * 100)
-        with pytest.raises((fast_frame.FastFormatError, IndexError)):
+        with pytest.raises(fast_frame.FastFormatError):
             fast_frame.decode_fast(enc[: len(enc) // 2])
+
+    def test_every_truncation_point_is_typed(self):
+        # Cutting the frame at ANY byte boundary must yield the typed error.
+        enc = fast_frame.encode_fast(b"the quick brown fox " * 40)
+        for cut in range(len(enc)):
+            try:
+                fast_frame.decode_fast(enc[:cut])
+            except fast_frame.FastFormatError:
+                pass
 
     def test_bad_version(self):
         enc = bytearray(fast_frame.encode_fast(b"x" * 100))
@@ -62,7 +71,7 @@ class TestFastFrameRobustness:
             mutated[flip] ^= 0xFF
             try:
                 fast_frame.decode_fast(bytes(mutated))
-            except (fast_frame.FastFormatError, IndexError):
+            except fast_frame.FastFormatError:
                 pass
 
     def test_native_rejects_corrupt(self):
@@ -93,8 +102,9 @@ class TestContainerRobustness:
         pipe = JPEGPipeline(JPEGConfig(precision="exact", entropy="shared"))
         img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
         blob = pack_container(pipe.encode(img))
-        with pytest.raises((JPEGContainerError, Exception)):
-            unpack_container(blob[: len(blob) - 10])
+        for cut in (10, len(blob) // 2, len(blob) - 10):
+            with pytest.raises(JPEGContainerError):
+                unpack_container(blob[:cut])
 
 
 class TestOracleRobustness:
