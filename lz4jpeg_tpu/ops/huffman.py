@@ -228,6 +228,14 @@ def unpack_symbols(
     """
     if total_bits == 0:
         return np.zeros(0, np.int32)
+    if (total_bits + 7) // 8 > len(packed):
+        # A corrupt/hostile container could claim more bits than the
+        # buffer holds — validated here so the native walker never reads
+        # out of bounds.
+        raise ValueError(
+            f"bit count {total_bits} exceeds packed buffer of "
+            f"{len(packed)} bytes"
+        )
     from lz4jpeg_tpu.native import native_available, native_backend
 
     if native_available():

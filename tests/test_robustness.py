@@ -130,3 +130,20 @@ class TestHuffmanLimits:
         )
         with pytest.raises(ValueError, match="32-bit"):
             build_canonical_codebook(symbols)
+
+
+class TestHuffmanUnpackBounds:
+    def test_oversized_bit_count_rejected(self, rng):
+        # nbits claiming more than the buffer holds must raise before any
+        # native read (OOB protection for hostile containers).
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook,
+            pack_symbols,
+            unpack_symbols,
+        )
+
+        symbols = rng.integers(0, 10, size=100).astype(np.int32)
+        cb = build_canonical_codebook(symbols)
+        packed, nbits = pack_symbols(symbols, cb)
+        with pytest.raises(ValueError, match="exceeds packed buffer"):
+            unpack_symbols(packed, 8 * len(packed) + 64, cb)
