@@ -43,8 +43,10 @@ import numpy as np
 TPU_BLOCK_LOG = 14  # 16 KiB blocks: ratio within ~4% of the host
                     # 64 KiB encoder at lockstep-scan cost
 _HASH_MULT = 2654435761
-_A1 = jnp.uint32(1000003)      # polynomial bases (odd → invertible mod 2^32)
-_A2 = jnp.uint32(2654435761)
+# polynomial bases (odd → invertible mod 2^32); np scalars so importing
+# this module cannot initialize a JAX backend (jax.distributed needs that)
+_A1 = np.uint32(1000003)
+_A2 = np.uint32(2654435761)
 
 
 def pad_blocks_fast(data: bytes, block_log: int = TPU_BLOCK_LOG):

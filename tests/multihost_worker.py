@@ -1,0 +1,49 @@
+"""Worker script for the two-process multihost gather test.
+
+Launched by tests/test_multihost_distributed.py with:
+    python multihost_worker.py <coordinator> <num_processes> <process_id>
+Each process contributes payloads of *different* widths (exercising the
+global max-length padding) and asserts the gathered, ordered result.
+"""
+
+import sys
+
+
+def main() -> int:
+    coordinator, num_processes, process_id = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from lz4jpeg_tpu.parallel.multihost import (
+        initialize,
+        ordered_allgather_payloads,
+    )
+
+    count = initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert count == num_processes, count
+
+    # Process 0 holds short payloads of blocks {0, 2}; process 1 holds a
+    # much longer payload of block {1} — widths differ across processes.
+    if process_id == 0:
+        local = [b"aa", b"cccc"]
+        indices = [0, 2]
+    else:
+        local = [b"b" * 100]
+        indices = [1]
+    out = ordered_allgather_payloads(local, indices, 3)
+    assert out == [b"aa", b"b" * 100, b"cccc"], [len(p) for p in out]
+    print(f"process {process_id}: gather OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
