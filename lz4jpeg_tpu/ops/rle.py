@@ -65,26 +65,37 @@ def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pairs, 2 * num_runs
 
 
-def _rle_decode_one(pairs: jnp.ndarray, length: jnp.ndarray, out_size: int) -> jnp.ndarray:
-    counts = pairs[0::2]
-    vals = pairs[1::2]
-    num_pairs = length // 2
-    pair_valid = jnp.arange(counts.shape[0]) < num_pairs
-    counts = jnp.where(pair_valid, counts, 0)
-    ends = jnp.cumsum(counts)
-    total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    pos = jnp.arange(out_size)
-    run = jnp.searchsorted(ends, pos, side="right")
-    run = jnp.clip(run, 0, vals.shape[0] - 1)
-    out = jnp.where(pos < total, vals[run], 0)
-    return out
-
-
 def rle_decode_batched(
     pairs: jnp.ndarray, lengths: jnp.ndarray, out_size: int
 ) -> jnp.ndarray:
     """((N, 2K) pairs, (N,) valid lengths) → (N, out_size) int32, capped at
-    ``out_size`` and zero-padded, matching ``inverse_RLE``."""
-    return jax.vmap(lambda p, l: _rle_decode_one(p, l, out_size))(
-        pairs.astype(jnp.int32), lengths.astype(jnp.int32)
+    ``out_size`` and zero-padded, matching ``inverse_RLE``.
+
+    Gather-free: run k owns the half-open interval [end_k − count_k, end_k)
+    of output positions; the intervals are disjoint, so each position's
+    value is an exact one-hot contraction ``membership @ vals`` on the MXU.
+    (The obvious per-row ``searchsorted`` + ``vals[run]`` formulation
+    measures ~300× slower on TPU — per-row gathers serialize.)
+    """
+    pairs = pairs.astype(jnp.int32)
+    n, two_k = pairs.shape
+    k = two_k // 2
+    counts = pairs[:, 0::2]
+    vals = pairs[:, 1::2]
+    pair_valid = jnp.arange(k, dtype=jnp.int32)[None, :] < (
+        lengths.astype(jnp.int32) // 2
+    )[:, None]
+    counts = jnp.where(pair_valid, counts, 0)
+    ends = jnp.cumsum(counts, axis=1, dtype=jnp.int32)  # (N, K)
+    begins = ends - counts
+    pos = jnp.arange(out_size, dtype=jnp.int32)
+    member = (
+        (begins[:, None, :] <= pos[None, :, None])
+        & (pos[None, :, None] < ends[:, None, :])
+    ).astype(jnp.float32)  # (N, out_size, K)
+    # f32 HIGHEST keeps |vals| ≤ 2^24 exact (bf16 multiplies would not).
+    out = jnp.einsum(
+        "npk,nk->np", member, vals.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
+    return out.astype(jnp.int32)
