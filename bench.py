@@ -43,7 +43,8 @@ def main() -> None:
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
     size = 2048
-    batch = 32  # frames per dispatch: amortizes the host→device round trip
+    batch = 128  # frames per dispatch: amortizes the host→device round trip
+    chain = 4  # dispatches per timed run: amortizes the ~24 ms tunnel RTT
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
         np.stack(
@@ -56,9 +57,12 @@ def main() -> None:
     # The experimental axon platform's block_until_ready can return before
     # execution finishes; a scalar readback that depends on every output is
     # the honest fence (it adds one device→host round trip, charged to us).
-    def forward_fenced(rgb_batch):
+    # Each dispatch folds the previous dispatch's checksum into its own, so
+    # the single float() at the end of a run transitively forces all
+    # ``chain`` executions — pipelined dispatch, serving-style.
+    def forward_fenced(rgb_batch, carry):
         out = jax.vmap(pipeline._forward_impl)(rgb_batch)
-        return sum(
+        return carry + sum(
             jnp.sum(v["rle"]) + jnp.sum(v["zz"].astype(jnp.float32))
             for v in out.values()
         )
@@ -66,15 +70,18 @@ def main() -> None:
     forward = jax.jit(forward_fenced)
 
     def step():
-        float(forward(imgs))
+        s = jnp.float32(0)
+        for _ in range(chain):
+            s = forward(imgs, s)
+        float(s)
 
     result = run_timed(
-        "jpeg_forward_2048_b32",
+        f"jpeg_forward_2048_b{batch}",
         step,
         scale=size,
         runs=10,
         warmup=2,
-        work=batch * size * size / 1e6,
+        work=chain * batch * size * size / 1e6,
         work_unit="MPix",
     )
 
@@ -82,7 +89,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "jpeg_forward_throughput_2048_b32",
+                "metric": f"jpeg_forward_throughput_2048_b{batch}",
                 "value": round(result.throughput, 2),
                 "unit": "MPix/s",
                 "vs_baseline": round(result.throughput / baseline_mpix_s, 1),
