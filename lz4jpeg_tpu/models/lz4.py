@@ -73,7 +73,14 @@ class LZ4Codec:
         return encode_fast(data)
 
     def _encode_fast_tpu(self, data: bytes) -> bytes:
-        """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9)."""
+        """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9).
+
+        Tunnel-aware data movement: blocks go up as uint8 (4× cheaper than
+        int32), and only the device-compacted match records come back —
+        ``max(counts)`` (pos, len·dist) int32 pairs per block instead of
+        the 12·P-byte dense parse fields, which would cost more to fetch
+        at the ~20-40 MB/s device→host link than the encode itself.
+        """
         import jax.numpy as jnp
 
         from lz4jpeg_tpu.formats.fast_frame import (
@@ -83,19 +90,46 @@ class LZ4Codec:
         from lz4jpeg_tpu.native import native_available, native_backend
         from lz4jpeg_tpu.ops.lz4_fast import (
             TPU_BLOCK_LOG,
+            compact_parse,
             fast_match_blocks,
             pad_blocks_fast,
         )
 
         padded, lengths = pad_blocks_fast(data, TPU_BLOCK_LOG)
-        is_match, emit_len, emit_dist = jax.device_get(
-            fast_match_blocks(jnp.asarray(padded), jnp.asarray(lengths))
+        num_blocks, p = padded.shape
+        pos_bits = (p - 1).bit_length()
+
+        @jax.jit
+        def device_encode(blocks_u8, lens):
+            return compact_parse(*fast_match_blocks(blocks_u8, lens))
+
+        pos_sorted, packed, counts = device_encode(
+            jnp.asarray(padded.astype(np.uint8)), jnp.asarray(lengths)
         )
+        max_count = int(jnp.max(counts))
+        k = 1 << max(1, (max_count - 1).bit_length())  # pow2 → few slice shapes
+        k = min(k, p)
+        pos_h = np.asarray(pos_sorted[:, :k])
+        packed_h = np.asarray(packed[:, :k])
+        counts_h = np.asarray(counts)
+
+        # Re-densify on host (vectorized scatter, cheap) for the emitters.
+        is_match = np.zeros((num_blocks, p), np.uint8)
+        emit_len = np.zeros((num_blocks, p), np.int32)
+        emit_dist = np.zeros((num_blocks, p), np.int32)
+        slot = np.arange(k)[None, :] < counts_h[:, None]
+        rows = np.broadcast_to(np.arange(num_blocks)[:, None], (num_blocks, k))
+        r, c = rows[slot], pos_h[slot]
+        is_match[r, c] = 1
+        emit_len[r, c] = packed_h[slot] >> pos_bits
+        emit_dist[r, c] = packed_h[slot] & (p - 1)
+
         native = native_backend() if native_available() else None
+        data_u8 = padded.astype(np.uint8)
         payloads, raws = [], []
-        for bi in range(padded.shape[0]):
+        for bi in range(num_blocks):
             n = int(lengths[bi])
-            raw = bytes(padded[bi, :n].astype(np.uint8))
+            raw = data_u8[bi, :n].tobytes()
             if native is not None:
                 payload = native.emit_block(
                     raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]

@@ -1,52 +1,58 @@
-"""TPU fast-mode LZ4 match finding: hash buckets + rolling-hash LCP.
+"""TPU fast-mode LZ4 match finding: gather-free sort-based hash chains.
 
 The parity matcher (``ops/match.py``) materializes the full (P, P)
 match-length table per block — exact, but O(P²) memory, fine only for the
 reference's 300-byte blocks.  This module is the scalable fast-mode design
-(SURVEY.md §7 step 9) for 16 KiB blocks:
+(SURVEY.md §7 step 9) for 16 KiB blocks, built *entirely* from the
+primitives this TPU stack executes well — multi-operand bitonic sorts,
+shifts, and elementwise compares.  Data-dependent gathers/scatters and
+long ``lax.scan`` chains (the obvious formulations) measure 100-1000×
+slower here and appear nowhere on the hot path:
 
-1. **Candidates by hash bucket.**  ``w32[i]`` packs the 4-byte window at
-   ``i``; positions argsort by ``(hash(w32), i)``, so each position's
-   candidate is simply its sorted predecessor when the hash matches — the
-   batched equivalent of LZ4's "most recent position with this hash" table,
-   with *every* position inserted.  A direct ``w32`` compare removes hash
-   false positives exactly.
-2. **Match lengths by binary lifting** over dual 32-bit polynomial rolling
-   hashes: ``lcp(i, j)`` needs ⌈log₂ P⌉ vectorized substring-hash compares
-   instead of a byte walk.  Two independent hash moduli put a spurious
-   extension at ~2⁻⁶⁴ per compare pair (and any corruption would be caught
-   by the round-trip gates); lengths are capped at the block's true length.
-3. **Greedy parse** as the same vmapped ``lax.scan`` the parity path uses —
-   P lockstep steps shared by every block in the batch, the TPU analogue of
-   GPU LZ4's block-per-thread parse.
+1. **Candidates by sort.**  ``w32[i]`` packs the 4-byte window at ``i``;
+   one ``lax.sort`` keyed by ``(hash(w32), i)`` makes each position's
+   candidate its sorted predecessor (the most recent previous position in
+   the same hash bucket) — the batched equivalent of LZ4's hash table,
+   with every position inserted, and the predecessor reachable by a
+   *shift* instead of a gather.  A direct ``w32`` compare removes hash
+   false positives exactly.  The two-back neighbor is a second shift and
+   doubles as a free second chain entry.
+2. **Match lengths by payload carry.**  The sort carries the suffix's
+   first ``4*LCP_WORDS`` bytes as extra operands (each is just ``w32``
+   shifted — no gathers to build); the LCP of sorted neighbors is a
+   word-wise elementwise compare plus a byte refinement inside the first
+   differing word.  Match lengths are therefore capped at ``4*LCP_WORDS``
+   bytes — longer matches simply split into several sequences (measured
+   ~1% ratio cost on text at 64 B; window/offset semantics unchanged).
+3. **Un-sort by a second sort** keyed by position (payloads: length,
+   distance) — the inverse permutation without a gather.
+4. **Greedy parse, segment-anchored.**  Matches are truncated at
+   ``SEG``-byte segment boundaries, which makes every segment's greedy
+   scan independent: the parse is a ``lax.scan`` of ``SEG`` lockstep
+   steps over all ``B·P/SEG`` segments at once, instead of ``P`` steps
+   per block (the reference's per-thread walk,
+   ``Algorithms/parallel/LZ4/LZ4.c:518``, is this loop; GPU ports keep it
+   warp-sequential — the TPU version vectorizes across segments).
 
 Output feeds the LZ4T frame (``formats/fast_frame.py``) with
 ``block_log=14``; the stream decodes with the existing native/Python
 decoders.  Match *choices* differ from the host encoder's (both are valid
 LZ4T streams; compression ratio is what varies).
-
-Performance note: the LCP stage leans on data-dependent gathers
-(``take_along_axis``), which the current TPU toolchain compiles and
-executes poorly — on such stacks the native C++ engine is the faster
-fast-mode choice, and this op is the algorithmic reference for healthier
-backends (it is exact and fully tested either way).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-TPU_BLOCK_LOG = 14  # 16 KiB blocks: ratio within ~4% of the host
-                    # 64 KiB encoder at lockstep-scan cost
+TPU_BLOCK_LOG = 14  # 16 KiB blocks: dist fits the 64 KiB window trivially
 _HASH_MULT = 2654435761
-# polynomial bases (odd → invertible mod 2^32); np scalars so importing
-# this module cannot initialize a JAX backend (jax.distributed needs that)
-_A1 = np.uint32(1000003)
-_A2 = np.uint32(2654435761)
+
+LCP_WORDS = 8  # carried suffix words → max match length 4*LCP_WORDS bytes
+# (8 words = 32 B cap: measured ratio-neutral on text vs 16/64 B — longer
+# matches split into extra ~3-byte sequences — while ~30% faster to sort.)
+SEG = 256  # parse segment: matches never cross a segment boundary
 
 
 def pad_blocks_fast(data: bytes, block_log: int = TPU_BLOCK_LOG):
@@ -64,144 +70,165 @@ def pad_blocks_fast(data: bytes, block_log: int = TPU_BLOCK_LOG):
     return padded, lengths
 
 
-def _prefix_hashes(x: jnp.ndarray, a: jnp.uint32) -> jnp.ndarray:
-    """H[k] = hash of x[:k] (polynomial, uint32 wraparound), H[0] = 0.
-
-    Associative combine on (hash, a**len) pairs → log-depth scan.
-    """
-    xu = x.astype(jnp.uint32)
-    b, p = x.shape
-    elems = (xu, jnp.full((b, p), a, jnp.uint32))
-
-    def combine(left, right):
-        lh, lp = left
-        rh, rp = right
-        return lh * rp + rh, lp * rp
-
-    h, pw = jax.lax.associative_scan(combine, elems, axis=1)
-    zero = jnp.zeros((b, 1), jnp.uint32)
-    return jnp.concatenate([zero, h], axis=1)  # (B, P+1)
+def _leading_equal_bytes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-element count (0-4) of leading equal bytes of two uint32 words
+    (little-endian byte order: byte 0 is the low byte)."""
+    x = a ^ b
+    return (
+        (x & 0x000000FF == 0).astype(jnp.int32)
+        + (x & 0x0000FFFF == 0).astype(jnp.int32)
+        + (x & 0x00FFFFFF == 0).astype(jnp.int32)
+        + (x == 0).astype(jnp.int32)
+    )
 
 
-def _pow_table(a: jnp.uint32, p: int) -> jnp.ndarray:
-    pows = np.empty(p + 1, np.uint32)
-    acc = 1
-    a_int = int(a)
-    for i in range(p + 1):
-        pows[i] = acc
-        acc = (acc * a_int) & 0xFFFFFFFF
-    return jnp.asarray(pows)
+def _lcp_from_payloads(pay, shift: int) -> jnp.ndarray:
+    """LCP (in bytes, ≤ 4*LCP_WORDS) between sorted row ``s`` and row
+    ``s-shift``, from the carried suffix words — pure shifts + compares."""
+    b = pay[0].shape[0]
+    zeros = jnp.zeros((b, shift), pay[0].dtype)
+    lcp = jnp.zeros(pay[0].shape, jnp.int32)
+    alive = jnp.ones(pay[0].shape, jnp.bool_)
+    for w in pay:
+        prev = jnp.concatenate([zeros, w[:, :-shift]], axis=1)
+        eq_bytes = _leading_equal_bytes(w, prev)
+        lcp = lcp + jnp.where(alive, eq_bytes, 0)
+        alive = alive & (eq_bytes == 4)
+    return lcp
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist",))
 def fast_match_blocks(
     blocks: jnp.ndarray, lengths: jnp.ndarray, max_dist: int = 65535
 ):
     """(B, P) int32 blocks + (B,) lengths → greedy parse fields.
 
-    Returns ``(is_match, emit_len, emit_dist)`` (B, P) int32, untruncated
-    lengths, ready for LZ4T sequence emission.
+    Returns ``(is_match, emit_len, emit_dist)`` (B, P) int32, ready for
+    LZ4T sequence emission.
     """
     b, p = blocks.shape
     idx = jnp.arange(p, dtype=jnp.int32)
-    x = blocks
+    x = blocks.astype(jnp.int32)  # accept uint8 uploads (4× cheaper h2d)
 
-    # 4-byte windows; positions within 3 of the block end can't start one.
     def sh(k):
         return jnp.pad(x[:, k:], ((0, 0), (0, k)))
 
-    w32 = (
-        sh(0).astype(jnp.uint32)
-        | (sh(1).astype(jnp.uint32) << 8)
-        | (sh(2).astype(jnp.uint32) << 16)
-        | (sh(3).astype(jnp.uint32) << 24)
-    )
+    def pack32(k):
+        return (
+            sh(k).astype(jnp.uint32)
+            | (sh(k + 1).astype(jnp.uint32) << 8)
+            | (sh(k + 2).astype(jnp.uint32) << 16)
+            | (sh(k + 3).astype(jnp.uint32) << 24)
+        )
+
+    w32 = pack32(0)
     window_ok = idx[None, :] + 4 <= lengths[:, None]
     h = (w32 * jnp.uint32(_HASH_MULT)) >> jnp.uint32(16)  # 16-bit buckets
     # Invalid windows get a per-position unique bucket so they never chain.
     h = jnp.where(window_ok, h.astype(jnp.int32), 0x10000 + idx[None, :])
 
-    # Sorted by (bucket, position): predecessor in the same bucket is the
-    # most recent previous occurrence candidate.
-    order = jnp.argsort(h * (p + 1) + idx[None, :], axis=1)
-    h_sorted = jnp.take_along_axis(h, order, axis=1)
-    prev_pos = jnp.concatenate(
-        [jnp.full((b, 1), -1, order.dtype), order[:, :-1]], axis=1
+    # One packed key: (bucket << pos_bits) | position — a single int32
+    # compare per bitonic stage instead of a two-key lexicographic one.
+    pos_bits = (p - 1).bit_length()
+    key = (h << pos_bits) | idx[None, :]
+    payload_words = [pack32(4 * k) for k in range(LCP_WORDS)]
+    key_s, *pay_s = jax.lax.sort(
+        (key, *payload_words), dimension=1, num_keys=1
     )
-    same = jnp.concatenate(
-        [jnp.zeros((b, 1), bool), h_sorted[:, 1:] == h_sorted[:, :-1]], axis=1
-    )
-    cand_sorted = jnp.where(same, prev_pos, -1)
-    # Unsort: position order[k] holds cand_sorted[k] → gather by argsort.
-    cand = jnp.take_along_axis(
-        cand_sorted, jnp.argsort(order, axis=1), axis=1
-    )
+    h_s = key_s >> pos_bits
+    pos_s = key_s & (p - 1)
 
-    # Exact 4-byte verification (kills hash false positives) + distance cap.
-    cand_w32 = jnp.take_along_axis(w32, jnp.maximum(cand, 0), axis=1)
-    dist = idx[None, :] - cand
-    match4 = (
-        (cand >= 0) & (cand_w32 == w32) & window_ok & (dist <= max_dist)
-    )
-
-    # LCP by binary lifting over dual rolling hashes, capped at block end.
-    h1 = _prefix_hashes(x, _A1)
-    h2 = _prefix_hashes(x, _A2)
-    pw1 = _pow_table(_A1, p)
-    pw2 = _pow_table(_A2, p)
-
-    def substr_eq(i, j, length):
-        """Vectorized: x[i:i+length] == x[j:j+length] via both hashes.
-
-        Ends are clamped to P; callers mask out-of-range trials."""
-        length = jnp.minimum(length, p)  # keep pw lookups in range
-        ie = jnp.minimum(i + length, p)
-        je = jnp.minimum(j + length, p)
-
-        def one(hh, pw):
-            hi = jnp.take_along_axis(hh, ie, axis=1) - (
-                jnp.take_along_axis(hh, i, axis=1) * pw[length]
-            )
-            hj = jnp.take_along_axis(hh, je, axis=1) - (
-                jnp.take_along_axis(hh, j, axis=1) * pw[length]
-            )
-            return hi == hj
-
-        return one(h1, pw1) & one(h2, pw2)
-
-    i_pos = jnp.broadcast_to(idx[None, :], (b, p))
-    j_pos = jnp.maximum(cand, 0)
-    max_len = jnp.maximum(lengths[:, None] - i_pos, 0)  # cap at true end
-    # Binary search the largest L with equal substrings, L in [0, max_len].
-    lcp = jnp.zeros((b, p), jnp.int32)
-    step = 1 << (p - 1).bit_length()
-    while step:
-        trial = lcp + step
-        ok = (trial <= max_len) & substr_eq(i_pos, j_pos, trial)
-        lcp = jnp.where(ok, trial, lcp)
-        step >>= 1
-    best_len = jnp.where(match4 & (lcp >= 4), lcp, 0)
-    best_dist = jnp.where(best_len > 0, dist, 0)
-
-    # Greedy parse: same lockstep scan as the parity path, untruncated.
-    def parse_one(lens, dists):
-        def stepf(skip_until, inputs):
-            k, ml, d = inputs
-            is_m = (k >= skip_until) & (ml > 0)
-            new_skip = jnp.where(is_m, k + ml, skip_until).astype(jnp.int32)
-            return new_skip, (
-                is_m,
-                jnp.where(is_m, ml, 0),
-                jnp.where(is_m, d, 0),
-            )
-
-        init = (lens[0] * 0).astype(jnp.int32)
-        _, outs = jax.lax.scan(
-            stepf, init, (idx, lens, dists)
+    def candidate(shift: int):
+        """Match fields against the ``shift``-back sorted neighbor."""
+        pad_head = jnp.full((b, shift), -1, jnp.int32)
+        same = jnp.concatenate(
+            [
+                jnp.zeros((b, shift), jnp.bool_),
+                h_s[:, shift:] == h_s[:, :-shift],
+            ],
+            axis=1,
+        ) & (h_s < 0x10000)
+        prev_pos = jnp.concatenate([pad_head, pos_s[:, :-shift]], axis=1)
+        dist = pos_s - prev_pos
+        # Exact first-window verification kills hash false positives.
+        prev_w0 = jnp.concatenate(
+            [jnp.zeros((b, shift), jnp.uint32), pay_s[0][:, :-shift]], axis=1
         )
-        return outs
+        exact4 = prev_w0 == pay_s[0]
+        lcp = _lcp_from_payloads(pay_s, shift)
+        ok = same & exact4 & (dist <= max_dist) & (lcp >= 4)
+        return jnp.where(ok, lcp, 0), jnp.where(ok, dist, 0)
 
-    is_match, emit_len, emit_dist = jax.vmap(parse_one)(
-        best_len.astype(jnp.int32), best_dist.astype(jnp.int32)
+    len1, dist1 = candidate(1)
+    len2, dist2 = candidate(2)
+    better2 = len2 > len1  # prefer the longer; ties keep the nearer (1-back)
+    cand_len = jnp.where(better2, len2, len1)
+    cand_dist = jnp.where(better2, dist2, dist1)
+
+    # Un-sort: one more sort keyed by position restores original order;
+    # (len, dist) ride packed into a single int32 payload (len ≤ 4*LCP_WORDS,
+    # dist < P ≤ 2**pos_bits).
+    _, lendist = jax.lax.sort(
+        (pos_s, (cand_len << pos_bits) | cand_dist), dimension=1, num_keys=1
     )
-    return is_match, emit_len, emit_dist
+    match_len = lendist >> pos_bits
+    match_dist = lendist & (p - 1)
+
+    # Caps: block's true end, and the parse segment boundary (so segments
+    # parse independently).  Re-check the 4-byte minimum afterwards.
+    seg_left = SEG - (idx[None, :] & (SEG - 1))
+    limit = jnp.minimum(lengths[:, None] - idx[None, :], seg_left)
+    match_len = jnp.minimum(match_len, jnp.maximum(limit, 0))
+    match_len = jnp.where(match_len >= 4, match_len, 0)
+    match_dist = jnp.where(match_len > 0, match_dist, 0)
+
+    # Greedy parse: SEG lockstep steps over every segment of every block
+    # at once (carry = per-segment skip pointer).
+    nseg = (b * p) // SEG
+    seg_len = match_len.reshape(nseg, SEG)
+    seg_dist = match_dist.reshape(nseg, SEG)
+
+    def stepf(skip_until, inputs):
+        k, ml, d = inputs
+        is_m = (k >= skip_until) & (ml > 0)
+        new_skip = jnp.where(is_m, k + ml, skip_until).astype(jnp.int32)
+        return new_skip, (
+            is_m,
+            jnp.where(is_m, ml, 0),
+            jnp.where(is_m, d, 0),
+        )
+
+    _, outs = jax.lax.scan(
+        stepf,
+        jnp.zeros(nseg, jnp.int32),
+        (
+            jnp.arange(SEG, dtype=jnp.int32),
+            seg_len.T,
+            seg_dist.T,
+        ),
+    )
+    is_match, emit_len, emit_dist = (o.T.reshape(b, p) for o in outs)
+    return (
+        is_match.astype(jnp.int32),
+        emit_len.astype(jnp.int32),
+        emit_dist.astype(jnp.int32),
+    )
+
+
+def compact_parse(is_match, emit_len, emit_dist):
+    """Parse fields → sparse per-block match records, device-side.
+
+    Dense (B, P) parse fields are 12 P bytes; over the host tunnel
+    (~20-40 MB/s device→host) that transfer costs more than the whole
+    encode.  One more 2-operand sort compacts each block's matches to the
+    front in position order — ``(positions, len<<pos_bits|dist, counts)``
+    — so the host fetches only ``max(counts)`` records per block
+    (typically P/10).  Gather/scatter-free like everything else here.
+    """
+    b, p = is_match.shape
+    pos_bits = (p - 1).bit_length()
+    idx = jnp.arange(p, dtype=jnp.int32)[None, :]
+    key = jnp.where(is_match > 0, idx, p)
+    payload = (emit_len << pos_bits) | emit_dist
+    pos_sorted, packed = jax.lax.sort((key, payload), dimension=1, num_keys=1)
+    counts = jnp.sum(is_match > 0, axis=1, dtype=jnp.int32)
+    return pos_sorted, packed, counts
