@@ -103,3 +103,58 @@ class TestNativeEmitter:
             raw, is_match[0, :n], emit_len[0, :n], emit_dist[0, :n]
         )
         assert nat == py
+
+
+class TestSortMatcherInvariants:
+    """Properties specific to the sort-based matcher design."""
+
+    def test_max_match_capped_at_carry(self):
+        from lz4jpeg_tpu.ops.lz4_fast import LCP_WORDS
+
+        data = b"x" * 8000  # one giant run: splits into capped matches
+        _, _, is_match, emit_len, _ = parse(data)
+        assert emit_len.max() <= 4 * LCP_WORDS
+        assert is_match.sum() > 8000 // (4 * LCP_WORDS) - 2
+
+    def test_matches_never_cross_segment_boundary(self, metamorphosis):
+        from lz4jpeg_tpu.ops.lz4_fast import SEG
+
+        data = (metamorphosis * 2)[:32768]
+        _, _, is_match, emit_len, _ = parse(data)
+        for bi in range(is_match.shape[0]):
+            ks = np.nonzero(is_match[bi])[0]
+            ends = ks + emit_len[bi, ks]
+            assert np.all(ends <= (ks // SEG + 1) * SEG)
+
+    def test_giant_run_roundtrip(self):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        data = b"\0" * 100_000 + b"tail" * 10
+        enc = codec.encode(data, engine="tpu")
+        assert codec.decode(enc) == data
+        assert len(enc) < len(data) // 4  # still compresses hard
+
+    def test_compact_parse_roundtrips_dense_fields(self, metamorphosis):
+        import jax
+
+        from lz4jpeg_tpu.ops.lz4_fast import compact_parse
+
+        data = metamorphosis[:40000]
+        padded, lengths, is_match, emit_len, emit_dist = parse(data)
+        pos_sorted, packed, counts = map(
+            np.asarray,
+            jax.jit(compact_parse)(
+                jnp.asarray(is_match),
+                jnp.asarray(emit_len),
+                jnp.asarray(emit_dist),
+            ),
+        )
+        p = padded.shape[1]
+        pos_bits = (p - 1).bit_length()
+        for bi in range(padded.shape[0]):
+            c = int(counts[bi])
+            ks = np.nonzero(is_match[bi])[0]
+            assert c == len(ks)
+            np.testing.assert_array_equal(pos_sorted[bi, :c], ks)
+            np.testing.assert_array_equal(packed[bi, :c] >> pos_bits, emit_len[bi, ks])
+            np.testing.assert_array_equal(packed[bi, :c] & (p - 1), emit_dist[bi, ks])
+            assert np.all(pos_sorted[bi, c:] == p)
