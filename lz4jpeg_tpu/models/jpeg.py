@@ -44,6 +44,7 @@ from lz4jpeg_tpu.ops.fused import fused_forward_jnp, fused_inverse_jnp
 from lz4jpeg_tpu.ops.huffman import (
     CanonicalCodebook,
     build_canonical_codebook,
+    build_canonical_codebook_from_counts,
     pack_symbols,
     unpack_symbols,
 )
@@ -341,11 +342,30 @@ class JPEGPipeline:
         mode = self.config.entropy
         enc.entropy_mode = mode
         if mode == "shared":
+            from lz4jpeg_tpu.native import native_available, native_backend
+
+            native = native_backend() if native_available() else None
             enc.shared_streams = {}
             for c in CHANNELS:
-                symbols = _valid_symbols(enc.rle[c], enc.rle_lengths[c])
-                codebook = build_canonical_codebook(symbols)
-                packed, nbits = pack_symbols(symbols, codebook)
+                if native is not None:
+                    # Two C++ passes over the padded pairs (histogram, then
+                    # map+pack) — the numpy mask-compact + np.unique route
+                    # below costs seconds per channel on a throttled host.
+                    offset = 2048  # symbols are counts ≤128 or coeffs |v|<2047
+                    counts, _ = native.rle_symbol_hist(
+                        enc.rle[c], enc.rle_lengths[c], offset, 2 * offset
+                    )
+                    (bins,) = np.nonzero(counts)
+                    codebook = build_canonical_codebook_from_counts(
+                        bins.astype(np.int64) - offset, counts[bins]
+                    )
+                    packed, nbits = native.huff_pack_pairs(
+                        enc.rle[c], enc.rle_lengths[c], codebook
+                    )
+                else:
+                    symbols = _valid_symbols(enc.rle[c], enc.rle_lengths[c])
+                    codebook = build_canonical_codebook(symbols)
+                    packed, nbits = pack_symbols(symbols, codebook)
                 enc.shared_streams[c] = (codebook, packed, nbits)
         else:  # per_block parity mode
             enc.per_block_bits = {c: [] for c in CHANNELS}
@@ -362,14 +382,30 @@ class JPEGPipeline:
     def entropy_decode(self, enc: JPEGEncoded) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
         """Recover padded RLE pairs from the entropy bitstreams."""
         if enc.entropy_mode == "shared":
+            from lz4jpeg_tpu.native import native_available, native_backend
+
+            native = native_backend() if native_available() else None
             rle, lengths = {}, {}
             for c in CHANNELS:
                 codebook, packed, nbits = enc.shared_streams[c]
-                symbols = unpack_symbols(packed, nbits, codebook)
-                rle[c], lengths[c] = _split_symbols(
-                    symbols, enc.num_blocks, enc.rle[c].shape[1],
-                    _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1],
+                pad_width = enc.rle[c].shape[1]
+                block_size = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
+                got = (
+                    native.huff_unpack_pairs(
+                        packed, nbits, codebook,
+                        block_size, enc.num_blocks, pad_width,
+                    )
+                    if native is not None
+                    else None
                 )
+                if got is None:
+                    # Pure-Python spec path; also the quirk-compatible
+                    # handler for streams the strict native walker rejects.
+                    symbols = unpack_symbols(packed, nbits, codebook)
+                    got = _split_symbols(
+                        symbols, enc.num_blocks, pad_width, block_size
+                    )
+                rle[c], lengths[c] = got
             return rle, lengths
         if enc.entropy_mode == "per_block":
             # Per-block trees are in-memory only (like the reference, which

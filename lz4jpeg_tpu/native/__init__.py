@@ -61,6 +61,27 @@ class NativeBackend:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.huff_unpack_pairs.restype = ctypes.c_int64
+        lib.huff_unpack_pairs.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.rle_symbol_hist.restype = ctypes.c_int64
+        lib.rle_symbol_hist.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.huff_pack_pairs.restype = ctypes.c_int64
+        lib.huff_pack_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -126,6 +147,76 @@ class NativeBackend:
         if n < 0:
             raise RuntimeError(f"native huffman unpack failed ({n})")
         return out[:n].copy()
+
+    def rle_symbol_hist(self, pairs, lengths, offset: int, nbins: int):
+        """Histogram of valid symbols in padded (N, 2L) int32 RLE pairs.
+
+        Returns (counts int64[nbins], total) — the single-pass C++
+        replacement for mask-compact + ``np.unique`` (seconds vs ~10 ms on
+        the throttled host at multi-megapixel streams)."""
+        import numpy as np
+
+        pairs = np.ascontiguousarray(pairs, np.int32)
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        counts = np.zeros(nbins, np.int64)
+        total = self._lib.rle_symbol_hist(
+            pairs.ctypes.data, lengths.ctypes.data,
+            pairs.shape[0], pairs.shape[1], offset,
+            counts.ctypes.data, nbins,
+        )
+        if total < 0:
+            raise RuntimeError(f"native symbol hist failed ({total})")
+        return counts, int(total)
+
+    def huff_unpack_pairs(
+        self, packed: bytes, nbits: int, codebook,
+        block_size: int, num_blocks: int, pad_width: int,
+    ):
+        """Canonical decode + RLE re-blocking in one pass (the inverse of
+        ``huff_pack_pairs``).  Returns (pairs (N, pad) int32, lengths) or
+        None if the stream needs the quirk-compatible numpy path."""
+        import numpy as np
+
+        lengths = np.ascontiguousarray(codebook.lengths, np.uint8)
+        symbols = np.ascontiguousarray(codebook.symbols, np.int32)
+        out_pairs = np.zeros((num_blocks, pad_width), np.int32)
+        out_lengths = np.zeros(num_blocks, np.int32)
+        n = self._lib.huff_unpack_pairs(
+            packed, nbits,
+            lengths.tobytes(), symbols.ctypes.data, len(symbols),
+            block_size, num_blocks, pad_width,
+            out_pairs.ctypes.data, out_lengths.ctypes.data,
+        )
+        if n < 0:
+            return None
+        return out_pairs, out_lengths
+
+    def huff_pack_pairs(self, pairs, lengths, codebook) -> tuple:
+        """Map + MSB-first pack valid symbols of padded RLE pairs through a
+        CanonicalCodebook, one C++ pass.  Returns (packed bytes, bits)."""
+        import numpy as np
+
+        pairs = np.ascontiguousarray(pairs, np.int32)
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        base = int(codebook.symbols.min())
+        size = int(codebook.symbols.max()) - base + 1
+        lut_codes = np.zeros(size, np.uint32)
+        lut_lens = np.zeros(size, np.uint8)  # 0 = unseen → error in C++
+        lut_codes[codebook.symbols - base] = codebook.codes
+        lut_lens[codebook.symbols - base] = codebook.lengths
+        total = int(lengths.astype(np.int64).sum())
+        cap = total * 4 + 16  # ≤32 bits per symbol
+        out = ctypes.create_string_buffer(cap)
+        nbits = ctypes.c_uint64(0)
+        n = self._lib.huff_pack_pairs(
+            pairs.ctypes.data, lengths.ctypes.data,
+            pairs.shape[0], pairs.shape[1], base,
+            lut_codes.ctypes.data, lut_lens.ctypes.data, size,
+            out, cap, ctypes.byref(nbits),
+        )
+        if n < 0:
+            raise RuntimeError(f"native pair pack failed ({n})")
+        return out.raw[:n], int(nbits.value)
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
         out = ctypes.create_string_buffer(2 * len(data) + 65536)

@@ -513,3 +513,149 @@ int64_t huff_pack(const uint32_t* codes, const uint8_t* lengths, size_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Shared-codebook entropy stage, single-pass over padded RLE pairs
+// (models/jpeg.py stores (N, 2L) int32 rows with per-row valid lengths).
+// The throttled-host numpy equivalents (mask-compact + np.unique) cost
+// seconds at multi-megapixel streams; these two passes are memory-speed.
+
+// Histogram of valid symbols, shifted by `offset` into [0, nbins).
+// Returns the number of valid symbols, or <0 if any falls outside.
+int64_t rle_symbol_hist(const int32_t* pairs, const int32_t* lengths,
+                        size_t n_rows, size_t row_len, int64_t offset,
+                        int64_t* counts, size_t nbins) {
+  int64_t total = 0;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const int32_t* row = pairs + r * row_len;
+    int32_t n = lengths[r];
+    if (n < 0 || static_cast<size_t>(n) > row_len) return kErrBadInput;
+    for (int32_t i = 0; i < n; ++i) {
+      int64_t v = static_cast<int64_t>(row[i]) + offset;
+      if (v < 0 || v >= static_cast<int64_t>(nbins)) return kErrBadInput;
+      ++counts[v];
+    }
+    total += n;
+  }
+  return total;
+}
+
+// Map valid symbols through a dense (code, length) LUT over
+// [lut_base, lut_base + lut_size) and pack MSB-first, np.packbits-style.
+// Returns bytes written; *nbits_out gets the exact bit count.
+int64_t huff_pack_pairs(const int32_t* pairs, const int32_t* lengths,
+                        size_t n_rows, size_t row_len, int64_t lut_base,
+                        const uint32_t* lut_codes, const uint8_t* lut_lens,
+                        size_t lut_size, uint8_t* out, size_t out_cap,
+                        uint64_t* nbits_out) {
+  uint64_t acc = 0;
+  int acc_bits = 0;
+  size_t w = 0;
+  uint64_t nbits = 0;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const int32_t* row = pairs + r * row_len;
+    int32_t n = lengths[r];
+    if (n < 0 || static_cast<size_t>(n) > row_len) return kErrBadInput;
+    for (int32_t i = 0; i < n; ++i) {
+      int64_t v = static_cast<int64_t>(row[i]) - lut_base;
+      if (v < 0 || v >= static_cast<int64_t>(lut_size)) return kErrBadInput;
+      int len = lut_lens[v];
+      if (len < 1 || len > 32) return kErrBadInput;  // unseen symbol
+      acc = (acc << len) | lut_codes[v];
+      acc_bits += len;
+      nbits += len;
+      while (acc_bits >= 8) {
+        if (w >= out_cap) return kErrOutputFull;
+        out[w++] = static_cast<uint8_t>(acc >> (acc_bits - 8));
+        acc_bits -= 8;
+      }
+    }
+  }
+  if (acc_bits > 0) {
+    if (w >= out_cap) return kErrOutputFull;
+    out[w++] = static_cast<uint8_t>((acc << (8 - acc_bits)) & 0xFF);
+  }
+  *nbits_out = nbits;
+  return static_cast<int64_t>(w);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Canonical Huffman decode + RLE re-blocking in one pass: the decode half
+// of the shared entropy stage (models/jpeg.py entropy_decode).  Symbols
+// alternate (count, value); a pair belongs to the block where its running
+// count total lands ((cum-1) / block_size, matching _split_symbols).
+// Strictly validating — returns kErrBadInput on any stream the vectorized
+// numpy path would need its own (quirkier) handling for, and the caller
+// falls back so observable behavior is unchanged.
+int64_t huff_unpack_pairs(const uint8_t* packed, uint64_t nbits,
+                          const uint8_t* lengths, const int32_t* symbols,
+                          size_t num_symbols, int64_t block_size,
+                          int64_t num_blocks, int64_t pad_width,
+                          int32_t* out_pairs, int32_t* out_lengths) {
+  if (num_symbols == 0) return nbits == 0 ? 0 : kErrBadInput;
+  uint32_t first_code[33] = {0};
+  int32_t first_index[33];
+  uint32_t count_len[33] = {0};
+  for (int l = 0; l <= 32; ++l) first_index[l] = -1;
+  for (size_t s = 0; s < num_symbols; ++s) {
+    int l = lengths[s];
+    if (l < 1 || l > 32) return kErrBadInput;
+    if (first_index[l] < 0) first_index[l] = static_cast<int32_t>(s);
+    ++count_len[l];
+  }
+  uint32_t code = 0;
+  int prev = 0;
+  for (int l = 1; l <= 32; ++l) {
+    if (!count_len[l]) continue;
+    code <<= (l - prev);
+    prev = l;
+    first_code[l] = code;
+    code += count_len[l];
+  }
+  int64_t cum = 0, cur_block = -1, cur_slot = 0, n_sym = 0;
+  int32_t pending_count = 0;
+  bool have_count = false;
+  uint32_t acc = 0;
+  int acc_len = 0;
+  for (uint64_t i = 0; i < nbits; ++i) {
+    acc = (acc << 1) | ((packed[i >> 3] >> (7 - (i & 7))) & 1);
+    ++acc_len;
+    if (acc_len > 32) return kErrBadInput;
+    if (count_len[acc_len] &&
+        acc - first_code[acc_len] < count_len[acc_len]) {
+      int32_t sym =
+          symbols[first_index[acc_len] + (acc - first_code[acc_len])];
+      acc = 0;
+      acc_len = 0;
+      ++n_sym;
+      if (!have_count) {
+        if (sym <= 0) return kErrBadInput;  // count symbol must be positive
+        pending_count = sym;
+        have_count = true;
+        continue;
+      }
+      have_count = false;
+      cum += pending_count;
+      int64_t blk = (cum - 1) / block_size;
+      if (blk < 0 || blk >= num_blocks) return kErrBadInput;
+      if (blk != cur_block) {
+        if (blk < cur_block) return kErrBadInput;
+        cur_block = blk;
+        cur_slot = 0;
+      }
+      if (2 * cur_slot + 1 >= pad_width) return kErrBadInput;
+      out_pairs[blk * pad_width + 2 * cur_slot] = pending_count;
+      out_pairs[blk * pad_width + 2 * cur_slot + 1] = sym;
+      out_lengths[blk] += 2;
+      ++cur_slot;
+    }
+  }
+  if (acc_len != 0 || have_count) return kErrBadInput;  // dangling bits/pair
+  return n_sym;
+}
+
+}  // extern "C"

@@ -83,6 +83,17 @@ def build_canonical_codebook(symbols: np.ndarray) -> CanonicalCodebook:
     canonical fix and still round-trips).
     """
     values, counts = np.unique(np.asarray(symbols, np.int64), return_counts=True)
+    return build_canonical_codebook_from_counts(values, counts)
+
+
+def build_canonical_codebook_from_counts(
+    values: np.ndarray, counts: np.ndarray
+) -> CanonicalCodebook:
+    """``build_canonical_codebook`` from a precomputed (values, counts)
+    frequency table — values ascending and unique, counts positive (what
+    the native ``rle_symbol_hist`` pass produces)."""
+    values = np.asarray(values, np.int64)
+    counts = np.asarray(counts)
     if len(values) == 1:
         return CanonicalCodebook(
             values.astype(np.int32),
