@@ -177,6 +177,13 @@ class NativeBackend:
         None if the stream needs the quirk-compatible numpy path."""
         import numpy as np
 
+        if (nbits + 7) // 8 > len(packed):
+            # Hostile/corrupt containers can claim more bits than the
+            # buffer holds — the C++ walker trusts nbits, so bound it here
+            # (mirrors the check in ops.huffman.unpack_symbols).
+            raise ValueError(
+                f"bit count {nbits} exceeds packed buffer of {len(packed)} bytes"
+            )
         lengths = np.ascontiguousarray(codebook.lengths, np.uint8)
         symbols = np.ascontiguousarray(codebook.symbols, np.int32)
         out_pairs = np.zeros((num_blocks, pad_width), np.int32)

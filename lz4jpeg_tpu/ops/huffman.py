@@ -187,9 +187,11 @@ def pack_symbols_device(
 
     Jit-compatible variant of ``pack_symbols``: every output *bit* finds its
     source symbol with one ``searchsorted`` over the exclusive bit-offset
-    prefix sum (a batched binary search — gathers, which TPUs like, instead
-    of variable-length scatters, which they don't), extracts its bit of the
-    codeword, and the bit matrix folds to bytes with a (·,8)×(8,) dot.
+    prefix sum, extracts its bit of the codeword, and the bit matrix folds
+    to bytes with a (·,8)×(8,) dot.  NOTE: on TPU stacks where
+    data-dependent gathers serialize (see ops/rle.py), this op is for
+    small/occasional streams only — the production entropy stage is the
+    native C++ single-pass packer (``native.huff_pack_pairs``).
 
     ``pad_bits`` is the static output capacity in bits (a multiple of 8);
     jit recompiles only per capacity bucket, not per input.  Returns

@@ -129,3 +129,13 @@ class TestUnpackPairs:
         packed, nbits = pack_symbols(syms, cb)
         got = native_backend().huff_unpack_pairs(packed, nbits, cb, 64, 1, 16)
         assert got is None
+
+    def test_oversized_bit_count_rejected_before_native_read(self, rng):
+        pairs, lengths = make_pairs(rng)
+        symbols = _valid_symbols(pairs, lengths)
+        cb = build_canonical_codebook(symbols)
+        packed, nbits = pack_symbols(symbols, cb)
+        with pytest.raises(ValueError, match="exceeds packed buffer"):
+            native_backend().huff_unpack_pairs(
+                packed, 8 * len(packed) + 64, cb, 64, pairs.shape[0], pairs.shape[1]
+            )
