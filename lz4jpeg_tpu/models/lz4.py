@@ -23,6 +23,7 @@ framing is a serial scan over block sizes exactly like the reference
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -36,6 +37,17 @@ from lz4jpeg_tpu.formats import (
     pack_frame,
 )
 from lz4jpeg_tpu.ops.match import greedy_parse, match_tables, pad_blocks
+
+
+@functools.lru_cache(maxsize=None)
+def _device_fast_encode():
+    """Jitted matcher+compactor, cached at module scope so repeated
+    ``encode(engine="tpu")`` calls reuse the compilation (jit caches by
+    shape under one callable; a per-call ``@jax.jit`` retraces every time,
+    ~35 s per call on this stack)."""
+    from lz4jpeg_tpu.ops.lz4_fast import compact_parse, fast_match_blocks
+
+    return jax.jit(lambda b, l: compact_parse(*fast_match_blocks(b, l)))
 
 
 class LZ4Codec:
@@ -88,30 +100,22 @@ class LZ4Codec:
             emit_block_from_parse,
         )
         from lz4jpeg_tpu.native import native_available, native_backend
-        from lz4jpeg_tpu.ops.lz4_fast import (
-            TPU_BLOCK_LOG,
-            compact_parse,
-            fast_match_blocks,
-            pad_blocks_fast,
-        )
+        from lz4jpeg_tpu.ops.lz4_fast import TPU_BLOCK_LOG, pad_blocks_fast
 
         padded, lengths = pad_blocks_fast(data, TPU_BLOCK_LOG)
         num_blocks, p = padded.shape
         pos_bits = (p - 1).bit_length()
 
-        @jax.jit
-        def device_encode(blocks_u8, lens):
-            return compact_parse(*fast_match_blocks(blocks_u8, lens))
-
-        pos_sorted, packed, counts = device_encode(
-            jnp.asarray(padded.astype(np.uint8)), jnp.asarray(lengths)
+        data_u8 = padded.astype(np.uint8)
+        pos_sorted, packed, counts = _device_fast_encode()(
+            jnp.asarray(data_u8), jnp.asarray(lengths)
         )
         max_count = int(jnp.max(counts))
         k = 1 << max(1, (max_count - 1).bit_length())  # pow2 → few slice shapes
         k = min(k, p)
-        pos_h = np.asarray(pos_sorted[:, :k])
-        packed_h = np.asarray(packed[:, :k])
-        counts_h = np.asarray(counts)
+        pos_h, packed_h, counts_h = jax.device_get(
+            (pos_sorted[:, :k], packed[:, :k], counts)
+        )
 
         # Re-densify on host (vectorized scatter, cheap) for the emitters.
         is_match = np.zeros((num_blocks, p), np.uint8)
@@ -125,7 +129,6 @@ class LZ4Codec:
         emit_dist[r, c] = packed_h[slot] & (p - 1)
 
         native = native_backend() if native_available() else None
-        data_u8 = padded.astype(np.uint8)
         payloads, raws = [], []
         for bi in range(num_blocks):
             n = int(lengths[bi])

@@ -149,13 +149,11 @@ def fast_match_blocks(
         ) & (h_s < 0x10000)
         prev_pos = jnp.concatenate([pad_head, pos_s[:, :-shift]], axis=1)
         dist = pos_s - prev_pos
-        # Exact first-window verification kills hash false positives.
-        prev_w0 = jnp.concatenate(
-            [jnp.zeros((b, shift), jnp.uint32), pay_s[0][:, :-shift]], axis=1
-        )
-        exact4 = prev_w0 == pay_s[0]
+        # lcp >= 4 IS the exact first-window verification (the first carried
+        # word must byte-equal the neighbor's), so hash false positives are
+        # rejected without a separate compare.
         lcp = _lcp_from_payloads(pay_s, shift)
-        ok = same & exact4 & (dist <= max_dist) & (lcp >= 4)
+        ok = same & (dist <= max_dist) & (lcp >= 4)
         return jnp.where(ok, lcp, 0), jnp.where(ok, dist, 0)
 
     len1, dist1 = candidate(1)
