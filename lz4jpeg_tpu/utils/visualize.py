@@ -44,3 +44,30 @@ def b_chrominance_image(cb_plane: np.ndarray) -> np.ndarray:
     g = 128 - 0.344 * (v - 128)
     b = 128 + 1.772 * (v - 128)
     return np.stack([_clamp_u8(r), _clamp_u8(g), _clamp_u8(b)], axis=-1)
+
+
+def reconstruct_chrominance_matrix(
+    tiles: np.ndarray, bpc: int, bpr: int, height: int, width: int
+) -> np.ndarray:
+    """Full-width chroma plane from (N, 8, 4) subsampled MCU tiles.
+
+    The reference's disabled debug path (``reconstruct_chrominance_matrix``,
+    JPEG.c:640-691): each subsampled chroma sample fills its two local
+    columns 2k and 2k+1; positions whose *pair* would cross the right edge
+    stay zero (the ``global_col + 1 >= width`` break), as do rows past the
+    bottom edge.  Vectorized: merge tiles → duplicate columns → mask the
+    ragged edge.
+    """
+    n, th, tw = tiles.shape
+    plane = (
+        tiles.reshape(bpc, bpr, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(bpc * th, bpr * tw)
+    )
+    full = np.repeat(plane, 2, axis=1)[:height, : 2 * bpr * tw]
+    out = np.zeros((height, width), np.uint8)
+    # Only sample pairs fully inside the image are written (the C breaks
+    # when global_col + 1 >= width, leaving a zero column at odd widths).
+    usable = min(full.shape[1], width - (width % 2))
+    out[:, :usable] = full[:, :usable]
+    return out

@@ -267,3 +267,35 @@ class TestInspect:
         assert cli_main(["lz4", "inspect", str(src)]) == 0
         out = capsys.readouterr().out
         assert "LZ4T frame v1" in out and "compressed," in out
+
+
+class TestChromaReconstruction:
+    def test_matches_reference_loop_semantics(self, rng):
+        """Oracle: the C loop of reconstruct_chrominance_matrix
+        (JPEG.c:640-691), including the odd-width zero column and ragged
+        bottom rows."""
+        from lz4jpeg_tpu.utils.visualize import reconstruct_chrominance_matrix
+
+        for h, w in ((16, 16), (13, 11), (8, 9), (5, 17)):
+            bpc, bpr = -(-h // 8), -(-w // 8)
+            tiles = rng.integers(0, 256, size=(bpc * bpr, 8, 4)).astype(
+                np.uint8
+            )
+            ref = np.zeros((h, w), np.uint8)
+            bi = 0
+            for br in range(bpc):
+                for bc in range(bpr):
+                    blk = tiles[bi]
+                    bi += 1
+                    for lr in range(8):
+                        gr = br * 8 + lr
+                        if gr >= h:
+                            break
+                        for lc in range(4):
+                            gc = bc * 8 + lc * 2
+                            if gc + 1 >= w:
+                                break
+                            ref[gr, gc] = blk[lr, lc]
+                            ref[gr, gc + 1] = blk[lr, lc]
+            got = reconstruct_chrominance_matrix(tiles, bpc, bpr, h, w)
+            np.testing.assert_array_equal(ref, got)
