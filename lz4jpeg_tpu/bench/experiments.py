@@ -117,3 +117,53 @@ def _write_reference_schema(
     ]
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
+
+
+def run_lz4_device_experiment(
+    batches: Optional[List[int]] = None,
+    runs: int = 6,
+    seed: int = 0,
+) -> List[BenchResult]:
+    """Device-resident LZ4 match+parse throughput (the nvcomp-style per-chip
+    metric: data already in HBM, parse fields staying in HBM).
+
+    The end-to-end file path is bound by host links, not the chip — this
+    sweep isolates what the TPU kernel chain itself sustains, fenced by a
+    scalar checksum readback (the only honest fence on this platform).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks
+
+    rng = np.random.default_rng(seed)
+    corpus = load_corpus()
+    results = []
+    fn = jax.jit(
+        lambda b, l: sum(
+            jnp.sum(o.astype(jnp.float32)) for o in fast_match_blocks(b, l)
+        )
+    )
+    for nblocks in batches or [64, 256, 1024, 2048]:
+        p = 16384
+        reps = -(-nblocks * p // len(corpus))
+        data = (corpus * reps)[: nblocks * p]
+        blocks = jnp.asarray(
+            np.frombuffer(data, np.uint8).reshape(nblocks, p)
+        )
+        lengths = jnp.full((nblocks,), p, jnp.int32)
+
+        def step():
+            float(fn(blocks, lengths))
+
+        mb = nblocks * p / 1e6
+        r = run_timed(
+            "lz4_device_match", step, scale=nblocks, runs=runs,
+            work=mb, work_unit="MB",
+        )
+        results.append(r)
+        print(
+            f"lz4 device match {mb:7.1f} MB/batch: mean {r.mean_s*1e3:8.2f} ms "
+            f"({r.throughput:7.1f} MB/s fenced)"
+        )
+    return results

@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="benchmark harness")
     bench.add_argument(
         "suite",
-        choices=["headline", "lz4", "jpeg", "scaling"],
+        choices=["headline", "lz4", "lz4-device", "jpeg", "scaling"],
         default="headline",
     )
     bench.add_argument("--runs", type=int, default=10)
@@ -221,10 +221,16 @@ def _cmd_bench(args) -> int:
 
         jpeg_scaling_sweep(runs=args.runs)
         return 0
-    from lz4jpeg_tpu.bench.experiments import run_lz4_experiment, run_jpeg_experiment
+    from lz4jpeg_tpu.bench.experiments import (
+        run_jpeg_experiment,
+        run_lz4_device_experiment,
+        run_lz4_experiment,
+    )
 
     if args.suite == "lz4":
         run_lz4_experiment(runs=args.runs, output=args.output)
+    elif args.suite == "lz4-device":
+        run_lz4_device_experiment(runs=args.runs)
     else:
         run_jpeg_experiment(runs=args.runs, output=args.output)
     return 0
