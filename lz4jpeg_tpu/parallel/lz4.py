@@ -13,7 +13,7 @@ construction.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +66,7 @@ def sharded_fast_parse(
     """Fast-mode (LZ4T) match finding with the block axis sharded.
 
     Same layout contract as ``sharded_block_parse`` but running the
-    hash-bucket + rolling-hash matcher (``ops/lz4_fast.py``) per shard —
+    sort-based hash-chain matcher (``ops/lz4_fast.py``) per shard —
     16 KiB blocks are the natural DP unit for large inputs.  ``blocks``
     row count must be a multiple of the mesh size.
     """
@@ -116,3 +116,59 @@ def sharded_compressed_sizes(
         return jax.lax.psum(local, axis)
 
     return np.asarray(jax.jit(count)(jnp.asarray(is_match)))
+
+
+def multihost_fast_encode(data: bytes) -> bytes:
+    """Cross-host fast-mode LZ4 encode: every process matches + emits its
+    strided slice of the block axis, payloads gather in original block
+    order over the interconnect, and every process returns the identical
+    assembled LZ4T frame.
+
+    The multi-host version of the reference's pre-sized ordered gather
+    (``parallel_add_block_to_frame``, Algorithms/parallel/LZ4/LZ4.c:495-514)
+    — block independence makes the frame bytes equal to a single-process
+    ``LZ4Codec.encode(engine="tpu")`` of the same input.  Call under an
+    initialized ``jax.distributed`` runtime (``parallel.multihost``); in a
+    single process it degrades to a local encode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.formats.fast_frame import (
+        assemble_frame,
+        emit_block_from_parse,
+    )
+    from lz4jpeg_tpu.native import native_available, native_backend
+    from lz4jpeg_tpu.ops.lz4_fast import (
+        TPU_BLOCK_LOG,
+        fast_match_blocks,
+        pad_blocks_fast,
+    )
+    from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    padded, lengths = pad_blocks_fast(data, TPU_BLOCK_LOG)
+    num_blocks = padded.shape[0]
+    mine = list(range(pid, num_blocks, nproc))
+    data_u8 = padded.astype(np.uint8)
+
+    local_payloads: List[bytes] = []
+    if mine:
+        shard = jnp.asarray(data_u8[mine])
+        shard_lengths = jnp.asarray(lengths[mine])
+        is_match, emit_len, emit_dist = jax.device_get(
+            jax.jit(fast_match_blocks)(shard, shard_lengths)
+        )
+        native = native_backend() if native_available() else None
+        for row, bi in enumerate(mine):
+            n = int(lengths[bi])
+            raw = data_u8[bi, :n].tobytes()
+            emit = native.emit_block if native is not None else emit_block_from_parse
+            local_payloads.append(
+                emit(raw, is_match[row, :n], emit_len[row, :n], emit_dist[row, :n])
+            )
+    payloads = ordered_allgather_payloads(local_payloads, mine, num_blocks)
+    raws = [
+        data_u8[bi, : int(lengths[bi])].tobytes() for bi in range(num_blocks)
+    ]
+    return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)

@@ -42,6 +42,22 @@ def main() -> int:
     out = ordered_allgather_payloads(local, indices, 3)
     assert out == [b"aa", b"b" * 100, b"cccc"], [len(p) for p in out]
     print(f"process {process_id}: gather OK")
+
+    # Full cross-process fast encode: strided block shards, ordered payload
+    # gather, identical frame on every process, equal to the single-process
+    # TPU-engine encode (asserted by the launcher via the golden file).
+    from lz4jpeg_tpu.formats.fast_frame import decode_fast
+    from lz4jpeg_tpu.parallel.lz4 import multihost_fast_encode
+
+    data = open(
+        "/root/reference/Output-Input/input/Metamorphosis.txt", "rb"
+    ).read()
+    frame = multihost_fast_encode(data)
+    assert decode_fast(frame) == data
+    out_path = sys.argv[4]
+    with open(f"{out_path}.{process_id}", "wb") as f:
+        f.write(frame)
+    print(f"process {process_id}: encode OK ({len(frame)} bytes)")
     return 0
 
 

@@ -11,6 +11,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -35,9 +36,12 @@ def test_two_process_ordered_gather():
     # workers (they are CPU-only).
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    out_base = os.path.join(
+        tempfile.mkdtemp(prefix="mh_frames_"), "frame.bin"
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coordinator, "2", str(i)],
+            [sys.executable, _WORKER, coordinator, "2", str(i), out_base],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -58,3 +62,17 @@ def test_two_process_ordered_gather():
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "gather OK" in out
+        assert "encode OK" in out
+
+    # Every process assembled the identical frame, byte-for-byte equal to
+    # a local single-process TPU-engine encode of the same input.
+    frames = [open(f"{out_base}.{i}", "rb").read() for i in range(2)]
+    assert frames[0] == frames[1]
+    from lz4jpeg_tpu.config import LZ4Config
+    from lz4jpeg_tpu.models.lz4 import LZ4Codec
+
+    data = open(
+        "/root/reference/Output-Input/input/Metamorphosis.txt", "rb"
+    ).read()
+    local = LZ4Codec(LZ4Config(mode="fast")).encode(data, engine="tpu")
+    assert frames[0] == local
