@@ -62,6 +62,7 @@ def pack_container(enc: "JPEGEncoded") -> bytes:
 
 def unpack_container(data: bytes) -> "JPEGEncoded":
     from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES, JPEGEncoded, _split_symbols
+    from lz4jpeg_tpu.native import native_available, native_backend
     from lz4jpeg_tpu.ops.huffman import unpack_symbols
 
     if len(data) < 14:
@@ -92,11 +93,18 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
                 raise JPEGContainerError(f"truncated stream for {c!r}")
             p += packed_len
             shared[c] = (codebook, packed, nbits)
-            symbols = unpack_symbols(packed, nbits, codebook)
             h, w = _CHANNEL_SHAPES[c]
-            rle[c], lengths[c] = _split_symbols(
-                symbols, num_blocks, 2 * h * w, h * w
-            )
+            got = None
+            if native_available():
+                # Fused decode+re-block C++ pass; returns None on streams
+                # that need the quirk-compatible Python path below.
+                got = native_backend().huff_unpack_pairs(
+                    packed, nbits, codebook, h * w, num_blocks, 2 * h * w
+                )
+            if got is None:
+                symbols = unpack_symbols(packed, nbits, codebook)
+                got = _split_symbols(symbols, num_blocks, 2 * h * w, h * w)
+            rle[c], lengths[c] = got
         except JPEGContainerError:
             raise
         except (struct.error, ValueError, IndexError, RuntimeError) as e:

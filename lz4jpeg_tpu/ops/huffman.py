@@ -284,3 +284,27 @@ def unpack_symbols(
     if code_len != 0:
         raise ValueError("trailing bits do not form a codeword")
     return np.asarray(out, np.int32)
+
+
+def concat_bitstreams(pieces):
+    """Concatenate MSB-first bitstreams: ``[(packed bytes, nbits), ...]`` →
+    ``(packed bytes, total_bits)``.
+
+    Each piece is np.packbits-style (bit 0 = MSB of byte 0, zero padding in
+    the final partial byte).  Used by the multi-host entropy gather, where
+    per-process substreams end at arbitrary bit offsets.
+    """
+    val = 0
+    total = 0
+    for data, nbits in pieces:
+        if nbits == 0:
+            continue
+        nbytes = (nbits + 7) // 8
+        if nbytes > len(data):
+            raise ValueError("bit count exceeds piece buffer")
+        piece = int.from_bytes(data[:nbytes], "big") >> (8 * nbytes - nbits)
+        val = (val << nbits) | piece
+        total += nbits
+    if total % 8:
+        val <<= 8 - (total % 8)
+    return val.to_bytes((total + 7) // 8, "big"), total

@@ -137,3 +137,122 @@ class ShardedJPEGForward:
         put = functools.partial(jax.device_put, device=self._shard)
         stages = self._mcu_stage(put(lum), put(r), put(b))
         return jax.device_get(stages), n
+
+
+def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
+    """Cross-host JPEG encode → TJPG container bytes, identical on every
+    process and byte-equal to a single-process encode.
+
+    The multi-host shape of the reference's MCU fan-out
+    (``Algorithms/parallel/JPEG/JPEG.c:1297-1304``) plus its shared
+    in-memory Huffman tables (SURVEY.md §2.2.8), done the collective way:
+
+    * each process transforms its contiguous band of 8-pixel MCU rows
+      (color transform and 4:2:2 subsampling are row-local, so bands are
+      independent);
+    * per-channel symbol histograms all-reduce across processes, so every
+      process builds the *identical* canonical codebook — the broadcast
+      shared-tables pattern over DCN;
+    * each process entropy-packs its own band and the bitstreams gather in
+      band order (``ordered_allgather_payloads``) with a host-side bit
+      concatenation, since substreams end at arbitrary bit offsets.
+
+    Call under an initialized ``jax.distributed`` runtime; in a single
+    process it degrades to a local encode.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from lz4jpeg_tpu.formats.jpeg_container import pack_container
+    from lz4jpeg_tpu.models.jpeg import (
+        CHANNELS,
+        JPEGEncoded,
+        JPEGPipeline,
+        _valid_symbols,
+    )
+    from lz4jpeg_tpu.native import native_available, native_backend
+    from lz4jpeg_tpu.ops.huffman import (
+        build_canonical_codebook_from_counts,
+        concat_bitstreams,
+        pack_symbols,
+    )
+    from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+    config = config or JPEGConfig(precision="fast", entropy="shared")
+    if config.entropy != "shared":
+        raise ValueError("multihost encode requires the shared entropy mode")
+    pid, nproc = jax.process_index(), jax.process_count()
+    h, w = rgb.shape[:2]
+    bpc = -(-h // 8)
+    splits = np.array_split(np.arange(bpc), nproc)
+    my_rows = splits[pid]
+    pipeline = JPEGPipeline(config)
+
+    OFFSET, NBINS = 2048, 4096
+    native = native_backend() if native_available() else None
+    local = {}
+    hists = np.zeros((len(CHANNELS), NBINS), np.int64)
+    if len(my_rows):
+        band = rgb[my_rows[0] * 8 : min((my_rows[-1] + 1) * 8, h)]
+        import jax.numpy as jnp
+
+        slim = jax.device_get(pipeline._forward_rle(jnp.asarray(band)))
+        for ci, c in enumerate(CHANNELS):
+            pairs = np.asarray(slim[c][0], np.int32)
+            lengths = np.asarray(slim[c][1], np.int32)
+            local[c] = (pairs, lengths)
+            if native is not None:
+                counts, _ = native.rle_symbol_hist(
+                    pairs, lengths, OFFSET, NBINS
+                )
+            else:
+                vals, cnt = np.unique(
+                    _valid_symbols(pairs, lengths), return_counts=True
+                )
+                counts = np.zeros(NBINS, np.int64)
+                counts[vals + OFFSET] = cnt
+            hists[ci] = counts
+
+    global_hists = hists
+    if nproc > 1:
+        global_hists = multihost_utils.process_allgather(hists).sum(axis=0)
+
+    shared = {}
+    for ci, c in enumerate(CHANNELS):
+        (bins,) = np.nonzero(global_hists[ci])
+        codebook = build_canonical_codebook_from_counts(
+            bins.astype(np.int64) - OFFSET, global_hists[ci][bins]
+        )
+        if c in local:
+            pairs, lengths = local[c]
+            if native is not None:
+                packed, nbits = native.huff_pack_pairs(pairs, lengths, codebook)
+            else:
+                packed, nbits = pack_symbols(
+                    _valid_symbols(pairs, lengths), codebook
+                )
+        else:
+            packed, nbits = b"", 0
+        pieces = ordered_allgather_payloads([packed], [pid], nproc)
+        all_nbits = np.asarray([nbits], np.int64)
+        if nproc > 1:
+            all_nbits = multihost_utils.process_allgather(
+                np.asarray([nbits], np.int64)
+            ).reshape(-1)
+        merged, total_bits = concat_bitstreams(
+            list(zip(pieces, all_nbits.tolist()))
+        )
+        shared[c] = (codebook, merged, total_bits)
+
+    enc = JPEGEncoded(
+        height=h,
+        width=w,
+        blocks_per_col=bpc,
+        blocks_per_row=-(-w // 8),
+        rle={c: np.zeros((0, 0), np.int32) for c in CHANNELS},
+        rle_lengths={c: np.zeros(0, np.int32) for c in CHANNELS},
+        entropy_mode="shared",
+        shared_streams=shared,
+        quality=config.quality,
+    )
+    return pack_container(enc)

@@ -58,6 +58,22 @@ def main() -> int:
     with open(f"{out_path}.{process_id}", "wb") as f:
         f.write(frame)
     print(f"process {process_id}: encode OK ({len(frame)} bytes)")
+
+    # Cross-process JPEG encode: band shards, all-reduced histograms →
+    # identical broadcast codebooks, ordered bitstream gather.
+    import numpy as np
+
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.parallel.jpeg import multihost_jpeg_encode
+    from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+    img = generate_noise_image(96, 80, np.random.default_rng(7))
+    container = multihost_jpeg_encode(
+        img, JPEGConfig(precision="fast", entropy="shared")
+    )
+    with open(f"{out_path}.jpeg.{process_id}", "wb") as f:
+        f.write(container)
+    print(f"process {process_id}: jpeg OK ({len(container)} bytes)")
     return 0
 
 

@@ -76,3 +76,22 @@ def test_two_process_ordered_gather():
     ).read()
     local = LZ4Codec(LZ4Config(mode="fast")).encode(data, engine="tpu")
     assert frames[0] == local
+
+    # JPEG: identical containers on both processes, byte-equal to the
+    # single-process encode of the same image.
+    import numpy as np
+
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.formats.jpeg_container import pack_container
+    from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+    from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+    for i, out in enumerate(outputs):
+        assert "jpeg OK" in out, f"process {i}:\n{out}"
+    containers = [
+        open(f"{out_base}.jpeg.{i}", "rb").read() for i in range(2)
+    ]
+    assert containers[0] == containers[1]
+    cfg = JPEGConfig(precision="fast", entropy="shared")
+    img = generate_noise_image(96, 80, np.random.default_rng(7))
+    assert containers[0] == pack_container(JPEGPipeline(cfg).encode(img))
