@@ -183,7 +183,7 @@ class JPEGPipeline:
         out = {}
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
-            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
 
@@ -202,7 +202,7 @@ class JPEGPipeline:
         fused = self.config.precision == "fast"
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
-            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
             out[name] = (pairs.astype(jnp.int16), lengths.astype(jnp.int32))
         return out
 

@@ -60,7 +60,7 @@ class ShardedJPEGForward:
         out = {}
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
-            pairs, lengths = rle_encode_batched(zz.astype(jnp.int32))
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
             out[name] = {"zz": zz, "rle": pairs, "rle_lengths": lengths}
         return out
 

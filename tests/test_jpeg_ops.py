@@ -180,6 +180,20 @@ class TestRLEOps:
             np.testing.assert_array_equal(pairs[i, : len(ref)], ref)
             assert np.all(pairs[i, len(ref):] == 0)  # zero padding
 
+    def test_packed_int16_path_matches_int32_path(self, rng):
+        # int16 inputs take the single-operand packed sort; the results
+        # must be identical to the generic two-operand path, including at
+        # the value-range extremes the packing bias must survive.
+        values = np.trunc(rng.normal(scale=100, size=(64, 64))).astype(
+            np.int16
+        )
+        values[0, :] = -1024  # DCT coefficient bound (±√64·128)
+        values[1, ::2] = 1016
+        p16, l16 = rle_encode_batched(jnp.asarray(values))
+        p32, l32 = rle_encode_batched(jnp.asarray(values, dtype=jnp.int32))
+        np.testing.assert_array_equal(np.asarray(p16), np.asarray(p32))
+        np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+
     def test_decode_inverts_encode(self, rng):
         values = np.trunc(rng.normal(scale=2, size=(10, 64))).astype(np.int32)
         pairs, lengths = rle_encode_batched(jnp.asarray(values))
