@@ -11,7 +11,9 @@ Layout (mirrors SURVEY.md §7's layer map):
                   the ground truth every TPU kernel is verified against.
 - ``formats/``  — container/bitstream formats (LZ4 frame pack/unpack).
 - ``ops/``      — batched TPU kernels (DCT, quantize, zigzag, RLE, Huffman,
-                  match finding) as jnp + Pallas implementations.
+                  match finding) as XLA-fused jnp formulations (measured
+                  faster than hand-written Pallas on this chip —
+                  ``results/pallas_ab.json``).
 - ``models/``   — codec pipelines (LZ4, JPEG, LZW) composing the ops.
 - ``parallel/`` — device mesh, shard_map data parallelism, ordered gather,
                   multi-host utilities.

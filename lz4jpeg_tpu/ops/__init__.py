@@ -1,8 +1,11 @@
-"""Batched TPU kernels (jnp + Pallas) for the codec pipelines.
+"""Batched TPU kernels for the codec pipelines.
 
-Each op has a jnp implementation (XLA-fused, the default) verified
-coefficient-exactly against ``oracle/``, and — for the hot paths — a Pallas
-kernel tuned for the MXU/VPU (``ops/pallas_mcu.py``).
+Each op is an XLA-fused jnp formulation verified coefficient-exactly
+against ``oracle/``.  Hand-written Pallas kernels for the two hot ops
+(fused MCU matmul, RLE compaction) were built and A/B'd on the chip —
+XLA's einsum pipelining and bitonic sort won both (2× and 3×; committed
+``results/pallas_ab.json``), so the XLA formulations are the production
+path and the Pallas candidates live in ``profiles/`` for reproducibility.
 """
 
 from lz4jpeg_tpu.ops.color import (  # noqa: F401
@@ -21,10 +24,6 @@ from lz4jpeg_tpu.ops.rle import rle_encode_batched, rle_decode_batched  # noqa: 
 from lz4jpeg_tpu.ops.fused import (  # noqa: F401
     fused_forward_jnp,
     fused_inverse_jnp,
-)
-from lz4jpeg_tpu.ops.pallas_mcu import (  # noqa: F401
-    fused_forward_pallas,
-    fused_inverse_pallas,
 )
 from lz4jpeg_tpu.ops.huffman import (  # noqa: F401
     CanonicalCodebook,

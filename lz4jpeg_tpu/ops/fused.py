@@ -14,9 +14,11 @@ MXU's favorite shape, replacing DCT + quantize + zigzag entirely.  The
 inverse chain (reverse zigzag → dequantize → IDCT → +128 → round/clamp)
 folds the same way.
 
-This module holds the basis construction and the jnp implementation (used
-on any backend); ``ops/pallas_mcu.py`` wraps the same basis in a Pallas
-TPU kernel.  Parity: the fused f32 path agrees with the staged f64 exact
+This module holds the basis construction and the jnp implementation — the
+production path on every backend: a hand-written Pallas kernel over the
+same basis (``profiles/pallas_mcu.py``) measured 2× slower than XLA's
+pipelining of this einsum on TPU v5e (``results/pallas_ab.json``).
+Parity: the fused f32 path agrees with the staged f64 exact
 path *after quantization* on noise inputs (tested); the staged path
 remains the oracle-exact reference.
 """

@@ -4,8 +4,9 @@ The reference walks anti-diagonals with per-element control flow
 (``zigzag_pattern``, JPEG.c:693-728).  On TPU the permutation is a
 compile-time constant (computed once from the oracle's literal
 transcription), so the whole op is a single ``take`` along the last axis —
-XLA lowers it to a vectorized gather, and for the fused Pallas kernel it is
-just a VMEM shuffle.
+XLA lowers it to a vectorized gather — and in the fused transform
+(``ops/fused.py``) it disappears entirely into a row permutation of the
+constant basis matrix.
 """
 
 from __future__ import annotations

@@ -1,18 +1,21 @@
-"""Pallas TPU kernel for the fused MCU transform.
+"""Pallas TPU kernel CANDIDATE for the fused MCU transform — measured
+SLOWER than the XLA einsum of ``ops/fused.py``; not shipped in the package.
+
+A/B on TPU v5e (chained dispatch, tunnel RTT amortized; see
+``profile_pallas.py`` and the committed ``results/pallas_ab.json``):
+forward 8.5 ms vs 4.1 ms, inverse similar, for 2M 8×8 MCUs — XLA's
+pipelining of the same (N, 64) × (64, 64) matmul wins 2×, so the jnp
+implementation stays the production path.  Kept (with ``pallas_rle.py``)
+so the measurement is reproducible; bit-identical to the jnp path
+(tests/test_pallas_candidates.py, plus the on-chip A/B).
 
 One grid step processes a (BLOCK_N, HW) tile of MCUs: uint8 pixels are
 upcast in VMEM, hit the MXU once against the fused
 DCT+quant+zigzag basis (see ``ops/fused.py``), and the truncated
 coefficients are written back — a single VMEM-resident pass over the MCU
 batch, with the (HW, HW) basis and (1, HW) offset held in VMEM across the
-whole grid.
-
-Per-step cost: 2·BLOCK_N·HW² FLOPs on the MXU, (BLOCK_N·HW) bytes read +
-(4·BLOCK_N·HW) written — compute : memory ≈ 26 : 1 at HW=64, comfortably
-MXU-bound, which is the speed-of-light shape for this op.
-
-Falls back to the jnp implementation on non-TPU backends (Pallas interpret
-mode is only used in tests).
+whole grid.  The op is HBM-bound (0.64 GB moved per 17 GFLOP at HW=64),
+and XLA's double-buffering of the same matmul beats this hand tiling.
 """
 
 from __future__ import annotations

@@ -1,15 +1,23 @@
-"""Pallas TPU kernel for the batched RLE compaction.
+"""Pallas TPU kernel CANDIDATE for the batched RLE compaction — measured
+SLOWER than the XLA sort formulation; not shipped in the package.
 
-``ops/rle.py`` formulates the reference's serial run-length loop
-(JPEG.c:767-809) as a bitonic sort — the fastest *XLA-level* formulation
-measured on TPU (see its module docstring).  But the sort is a 21-stage
-compare-exchange network for 64-wide rows, and stable stream compaction
-with monotone destinations needs only ``log2(L)`` stages of bit-fixing
-routing (a concentrator network: element ``i`` moves left by
-``s[i] = i - rank(i)``, one power-of-two hop per set bit of ``s``,
-provably collision-free because ranks are strictly increasing).  XLA can't
-express that network without materializing every stage to HBM; Pallas runs
-it entirely in VMEM:
+A/B on TPU v5e (chained dispatch, tunnel RTT amortized; see
+``profile_pallas.py`` and the committed ``results/pallas_ab.json``):
+18.5 ms vs 6.3 ms for 2M×64 int16 blocks — the XLA bitonic sort of
+``ops/rle.py`` wins 3×, so it stays the production RLE.  This file is kept
+(with ``pallas_mcu.py``) so the measurement is reproducible; it is
+bit-identical to ``rle_encode_batched`` (tests/test_pallas_candidates.py
+asserts this in interpret mode, and the on-chip A/B re-asserts it).
+
+The idea it tested: ``ops/rle.py``'s sort is a 21-stage compare-exchange
+network for 64-wide rows, while stable stream compaction with monotone
+destinations needs only ``log2(L)`` stages of bit-fixing routing (a
+concentrator network: element ``i`` moves left by ``s[i] = i - rank(i)``,
+one power-of-two hop per set bit of ``s``, provably collision-free because
+ranks are strictly increasing).  XLA can't express that network without
+materializing every stage to HBM; Pallas runs it entirely in VMEM — but
+Mosaic's cross-lane ``roll``s cost more per stage than XLA's sort network,
+and the kernel ends up VPU-bound above the sort's total:
 
 * rows are packed ``128 // L`` zigzag segments per 128-lane vector row, so
   the VPU runs at full lane occupancy (a bare (N, 64) layout wastes half
@@ -20,9 +28,6 @@ it entirely in VMEM:
   a single combined ``key*2^16 | (value+2^15)`` operand;
 * per-run lengths are the adjacent difference of the compacted start
   positions, exactly as in the sort formulation.
-
-Measured ~2× faster than the sort formulation at (2M, 64) on TPU v5e, and
-bit-identical to ``rle_encode_batched`` (tests/test_pallas_rle.py).
 
 Precondition: values must fit int16 (the combined operand carries them in
 16 bits).  JPEG quantized coefficients are bounded by ±1024 even at the
@@ -39,8 +44,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from lz4jpeg_tpu.ops.rle import rle_encode_batched
 
 BLOCK_R = 512  # 128-lane rows per grid step; ~256 KiB per VMEM operand
 LANES = 128
@@ -73,10 +76,14 @@ def _rle_kernel(x_ref, counts_ref, vals_ref, *, seg: int):
     # Collision-free: after bits 0..b the element sits at
     # rank + (s with low bits cleared), strictly increasing across
     # elements, so no two ever occupy one slot.
+    # Mosaic's roll is circular and requires non-negative shifts: a left
+    # shift by ``step`` is ``roll(LANES - step)``; wrapped lanes all have
+    # ``m >= seg - step`` (LANES is a multiple of seg) so the ``ok`` mask
+    # below already discards them.
     for b in range(nbits):
         step = 1 << b
-        s_in = pltpu.roll(s, shift=-step, axis=1)
-        c_in = pltpu.roll(comb, shift=-step, axis=1)
+        s_in = pltpu.roll(s, shift=LANES - step, axis=1)
+        c_in = pltpu.roll(comb, shift=LANES - step, axis=1)
         ok = m < (seg - step)  # don't import from the next segment
         move_in = ok & (((s_in >> b) & 1) == 1)
         leave = ((s >> b) & 1) == 1
@@ -85,8 +92,10 @@ def _rle_kernel(x_ref, counts_ref, vals_ref, *, seg: int):
 
     key = comb >> 16  # compacted start position (seg for holes)
     val = (comb & 0xFFFF) - 32768
-    # Run k ends where run k+1 begins (or at the segment end).
-    nxt = jnp.where(m == seg - 1, seg, pltpu.roll(key, shift=-1, axis=1))
+    # Run k ends where run k+1 begins (or at the segment end).  Left
+    # shift by 1 = circular roll by LANES-1; the wrapped lane has
+    # m == seg-1 and is overridden by the where.
+    nxt = jnp.where(m == seg - 1, seg, pltpu.roll(key, shift=LANES - 1, axis=1))
     valid = key < seg
     counts_ref[:] = jnp.where(valid, nxt - key, 0).astype(jnp.int16)
     vals_ref[:] = jnp.where(valid, val, 0).astype(jnp.int16)
@@ -137,11 +146,3 @@ def rle_encode_pallas(
     return pairs, lengths
 
 
-def rle_encode_best(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Platform dispatch: the Pallas concentrator kernel on TPU, the sort
-    formulation elsewhere (CPU meshes, interpret-unfriendly contexts).
-    Returns int16 pairs either way."""
-    if jax.default_backend() in ("tpu", "axon"):
-        return rle_encode_pallas(values)
-    pairs, lengths = rle_encode_batched(values)
-    return pairs.astype(jnp.int16), lengths

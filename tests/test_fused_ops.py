@@ -6,10 +6,6 @@ import pytest
 
 from lz4jpeg_tpu.ops.dct import dct2_batched, idct2_batched
 from lz4jpeg_tpu.ops.fused import fused_forward_jnp, fused_inverse_jnp
-from lz4jpeg_tpu.ops.pallas_mcu import (
-    fused_forward_pallas,
-    fused_inverse_pallas,
-)
 from lz4jpeg_tpu.ops.quantize import (
     CHROMINANCE_QUANTIZATION_TABLE,
     LUMINANCE_QUANTIZATION_TABLE,
@@ -84,47 +80,6 @@ class TestFusedInverse:
             )
         )
         np.testing.assert_array_equal(fused, staged)
-
-
-class TestPallasKernel:
-    """Interpret mode on CPU; the compiled path is exercised on TPU by
-    bench.py and the pipeline integration."""
-
-    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
-    def test_forward_matches_jnp(self, rng, w, h):
-        tiles = rng.integers(0, 256, size=(700, h, w), dtype=np.uint8)
-        ours = np.asarray(
-            fused_forward_pallas(
-                jnp.asarray(tiles), _table(w), w, h, interpret=True
-            )
-        )
-        ref = np.asarray(
-            fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float32)
-        )
-        np.testing.assert_array_equal(ours, ref)
-
-    @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
-    def test_inverse_matches_jnp(self, rng, w, h):
-        tiles = rng.integers(0, 256, size=(700, h, w), dtype=np.uint8)
-        zz = fused_forward_jnp(jnp.asarray(tiles), _table(w), w, h, jnp.float32)
-        ours = np.asarray(
-            fused_inverse_pallas(zz, _table(w), w, h, interpret=True)
-        )
-        ref = np.asarray(fused_inverse_jnp(zz, _table(w), w, h, jnp.float32))
-        np.testing.assert_array_equal(ours, ref)
-
-    def test_ragged_grid_tail(self, rng):
-        # N not a multiple of BLOCK_N exercises the padded last grid step.
-        tiles = rng.integers(0, 256, size=(5, 8, 8), dtype=np.uint8)
-        ours = np.asarray(
-            fused_forward_pallas(
-                jnp.asarray(tiles), _table(8), 8, 8, interpret=True
-            )
-        )
-        ref = np.asarray(
-            fused_forward_jnp(jnp.asarray(tiles), _table(8), 8, 8, jnp.float32)
-        )
-        np.testing.assert_array_equal(ours, ref)
 
 
 class TestFusedWithScaledTables:
