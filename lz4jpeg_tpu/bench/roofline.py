@@ -1,0 +1,247 @@
+"""Per-stage roofline / MFU breakdown of the JPEG forward pipeline.
+
+Answers "which stage limits the headline number and how far is it from
+speed of light" with a committed artifact (``results/roofline_jpeg_forward
+.json``) instead of a docstring claim — the framework's analogue of the
+reference's per-size timing tables (``Experiment/results/*.json``).
+
+Methodology
+-----------
+Each stage is chained CHAIN times inside one jit via ``lax.fori_loop``
+with a data-dependent carry so executions serialize, then fenced once by
+a scalar readback — per-iteration time excludes the ~24 ms host↔device
+tunnel RTT of this platform (see ``utils/profiling.py``).  Per stage we
+state the *algorithmic* FLOPs and HBM bytes (inputs read once + outputs
+written once; internal passes XLA may add, e.g. the RLE sort's network,
+only lower the achieved fraction) and compare against chip peaks:
+
+* HBM: 819 GB/s (TPU v5e).
+* MXU: 197 bf16 TFLOP/s (TPU v5e); f32 matmuls run as multi-pass bf16 so
+  MFU is reported against the bf16 peak (conservative).
+
+``speed_of_light_s = max(bytes/BW_peak, flops/FLOP_peak)`` and
+``sol_fraction = speed_of_light_s / measured_s``.
+
+The readback stage (device→host of the int16 RLE pairs) is timed
+separately and RTT-inclusive — it is a real serving cost, but on this
+tunnel (~20-40 MB/s d2h) it is two orders of magnitude off a production
+PCIe link, which is why ``encode()`` ships the half-width int16 slim
+representation and nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+HBM_PEAK_GBS = 819.0  # TPU v5e
+MXU_PEAK_TFLOPS = 197.0  # TPU v5e bf16
+
+
+def _chain_bench(body, data, chain: int, runs: int = 4) -> float:
+    """Best per-iteration seconds of ``body(x, carry, acc) -> (carry', acc')``
+    chained ``chain`` times in one fenced dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(x, c0):
+        def step(_, carry):
+            c, s = carry
+            return body(x, c, s)
+
+        _, s = jax.lax.fori_loop(0, chain, step, (c0, jnp.float32(0)))
+        return s
+
+    f = jax.jit(chained)
+    float(f(data, jnp.int16(0)))  # compile + warm
+    best = 1e9
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(f(data, jnp.int16(0)))
+        best = min(best, time.perf_counter() - t0)
+    return best / chain
+
+
+def run_jpeg_forward_roofline(
+    size: int = 2048,
+    batch: int = 32,
+    chain: int = 8,
+    output: Optional[str] = None,
+) -> Dict:
+    """Stage-by-stage fenced timing + roofline for the batched forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.models.jpeg import CHANNELS, JPEGPipeline, forward_channel
+    from lz4jpeg_tpu.ops.rle import rle_encode_batched
+    from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+    pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        np.stack([generate_noise_image(size, size, rng) for _ in range(batch)])
+    )
+    npix = batch * size * size  # pixels per chain iteration
+    split = jax.vmap(pipeline._split_impl)
+    tiles = jax.jit(split)(imgs)  # stage-2/3 inputs, resident in HBM
+    tiles = jax.tree_util.tree_map(
+        lambda t: t.reshape(-1, *t.shape[2:]), tiles
+    )
+
+    def matmuls(ts, c):
+        out = []
+        for name, t in zip(CHANNELS, ts):
+            t = (t + c.astype(t.dtype)) if c is not None else t
+            out.append(
+                forward_channel(t, name, pipeline._tables, jnp.float32, True)
+            )
+        return out
+
+    zz = jax.jit(lambda ts: matmuls(ts, None))(tiles)
+
+    stages: Dict[str, Dict] = {}
+
+    # -- stage 1: color transform + 4:2:2 + MCU split --------------------
+    def split_body(x, c, s):
+        lum, r, b = split(x + c.astype(jnp.uint8))
+        return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s + jnp.sum(
+            lum[:, 0, 0, 0].astype(jnp.float32)
+        )
+
+    print("timing color_split ...", flush=True)
+    stages["color_split"] = {
+        "measured_s": _chain_bench(split_body, imgs, chain),
+        "flops": 10 * npix,          # 3-tap color matrix per pixel
+        "bytes": 3 * npix + 2 * npix,  # RGB u8 in, Y + 2 half-res chroma u8 out
+    }
+
+    # -- stage 2: fused DCT+quant+zigzag matmul (3 channels) -------------
+    def matmul_body(ts, c, s):
+        out = matmuls(ts, c)
+        return (out[0][0, 0] % 2).astype(jnp.int16), s + sum(
+            jnp.sum(o[:, 0]) for o in out
+        )
+
+    print("timing mcu_matmul ...", flush=True)
+    stages["mcu_matmul"] = {
+        "measured_s": _chain_bench(matmul_body, tiles, chain),
+        # lum: 2·(npix/64)·64² ; chroma ×2: 2·(npix/4/32… i.e. npix/2 coeffs
+        # per channel at hw=32): 2·(npix/2)·32 each.
+        "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
+        "bytes": 2 * npix + 8 * npix,  # u8 tiles in, f32 coefficients out
+    }
+
+    # -- stage 3: RLE compaction (3 channels, incl. int16 cast) ----------
+    def rle_body(zs, c, s):
+        for z in zs:
+            _, l = rle_encode_batched((z + c.astype(jnp.float32)).astype(jnp.int16))
+            s = s + jnp.sum(l.astype(jnp.float32))
+            c = (l[0] % 3).astype(jnp.int16)
+        return c, s
+
+    print("timing rle ...", flush=True)
+    stages["rle"] = {
+        "measured_s": _chain_bench(rle_body, zz, chain),
+        "flops": 0,  # compare/select network — not MXU work
+        # f32 zz in, int16 [count,value] pairs (2× elements) out.
+        "bytes": 8 * npix + 8 * npix,
+    }
+
+    # -- whole forward chain (what bench.py times) ------------------------
+    fwd = jax.vmap(pipeline._forward_rle_impl)
+
+    def full_body(x, c, s):
+        out = fwd(x + c.astype(jnp.uint8))
+        lengths0 = out["lum"][1]
+        return (lengths0[0, 0] % 3).astype(jnp.int16), s + sum(
+            jnp.sum(v[1].astype(jnp.float32)) for v in out.values()
+        )
+
+    print("timing full_forward ...", flush=True)
+    stages["full_forward"] = {
+        "measured_s": _chain_bench(full_body, imgs, chain),
+        "flops": sum(stages[k]["flops"] for k in ("color_split", "mcu_matmul", "rle")),
+        "bytes": sum(stages[k]["bytes"] for k in ("color_split", "mcu_matmul", "rle")),
+    }
+
+    # -- device→host readback of the slim encode output -------------------
+    slim = jax.jit(fwd)(imgs)
+    jax.block_until_ready(slim)
+    d2h_bytes = sum(
+        int(np.prod(v[0].shape)) * 2 + int(np.prod(v[1].shape)) * 4
+        for v in slim.values()
+    )
+    t0 = time.perf_counter()
+    jax.device_get(slim)
+    d2h_s = time.perf_counter() - t0
+    stages["readback_d2h"] = {
+        "measured_s": d2h_s,
+        "flops": 0,
+        "bytes": d2h_bytes,
+        "note": "tunnel d2h, RTT-inclusive; not part of the device chain",
+    }
+
+    # -- roofline arithmetic ----------------------------------------------
+    for name, st in stages.items():
+        t = st["measured_s"]
+        st["achieved_gbs"] = st["bytes"] / t / 1e9
+        st["achieved_tflops"] = st["flops"] / t / 1e12
+        if name == "readback_d2h":
+            st["speed_of_light_s"] = None
+            st["sol_fraction"] = None
+            continue
+        sol = max(
+            st["bytes"] / (HBM_PEAK_GBS * 1e9),
+            st["flops"] / (MXU_PEAK_TFLOPS * 1e12),
+        )
+        st["speed_of_light_s"] = sol
+        st["sol_fraction"] = sol / t
+        st["bound"] = (
+            "memory"
+            if st["bytes"] / (HBM_PEAK_GBS * 1e9)
+            >= st["flops"] / (MXU_PEAK_TFLOPS * 1e12)
+            else "compute"
+        )
+
+    device_stages = ("color_split", "mcu_matmul", "rle")
+    stage_sum = sum(stages[k]["measured_s"] for k in device_stages)
+    limiter = max(device_stages, key=lambda k: stages[k]["measured_s"])
+    result = {
+        "size": size,
+        "batch": batch,
+        "chain": chain,
+        "backend": jax.default_backend(),
+        "peaks": {"hbm_gbs": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_TFLOPS},
+        "mpix_per_iter": npix / 1e6,
+        "stages": stages,
+        "stage_sum_s": stage_sum,
+        "fusion_gap_s": stages["full_forward"]["measured_s"] - stage_sum,
+        "limiting_stage": limiter,
+        "full_forward_mpix_s": npix / 1e6 / stages["full_forward"]["measured_s"],
+    }
+
+    print(f"\nJPEG forward roofline — {size}² × batch {batch} "
+          f"({npix/1e6:.0f} MPix/iter) on {result['backend']}")
+    print(f"{'stage':14s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
+          f"{'SoL ms':>7s} {'SoL%':>6s}  bound")
+    for name in (*device_stages, "full_forward", "readback_d2h"):
+        st = stages[name]
+        sol_ms = f"{st['speed_of_light_s']*1e3:7.2f}" if st["speed_of_light_s"] else "      -"
+        sol_pc = f"{st['sol_fraction']*100:5.1f}%" if st["sol_fraction"] else "     -"
+        print(
+            f"{name:14s} {st['measured_s']*1e3:8.2f} {st['achieved_gbs']:7.1f} "
+            f"{st['achieved_tflops']:8.2f} {sol_ms} {sol_pc}  {st.get('bound','-')}"
+        )
+    print(f"limiting stage: {limiter}; "
+          f"fusion gap {result['fusion_gap_s']*1e3:+.2f} ms; "
+          f"forward {result['full_forward_mpix_s']:.0f} MPix/s")
+
+    if output:
+        with open(output, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {output}")
+    return result

@@ -36,14 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     dec = lz4_sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("output")
-    insp = lz4_sub.add_parser("inspect")
-    insp.add_argument("input")
     dec.add_argument(
         "--text",
         action="store_true",
         help="render like the reference's uncompressed.txt "
         "(non-printables as 0xNN text)",
     )
+    insp = lz4_sub.add_parser("inspect")
+    insp.add_argument("input")
 
     jpeg = sub.add_parser("jpeg", help="JPEG-style image pipeline")
     jpeg_sub = jpeg.add_subparsers(dest="action", required=True)
@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="benchmark harness")
     bench.add_argument(
         "suite",
-        choices=["headline", "lz4", "lz4-device", "jpeg", "scaling"],
+        choices=["headline", "lz4", "lz4-device", "jpeg", "scaling", "roofline"],
         default="headline",
     )
     bench.add_argument("--runs", type=int, default=10)
@@ -210,6 +210,11 @@ def _cmd_bench(args) -> int:
         import bench as headline  # repo-root bench.py
 
         headline.main()
+        return 0
+    if args.suite == "roofline":
+        from lz4jpeg_tpu.bench.roofline import run_jpeg_forward_roofline
+
+        run_jpeg_forward_roofline(output=args.output)
         return 0
     if args.suite == "scaling":
         import jax
