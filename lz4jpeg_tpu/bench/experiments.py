@@ -119,6 +119,88 @@ def _write_reference_schema(
         json.dump(payload, f, indent=1)
 
 
+def run_lz4t_decode_device_experiment(
+    sizes_mb: Optional[List[int]] = None,
+    runs: int = 6,
+    output: Optional[str] = None,
+) -> List[BenchResult]:
+    """Device-parallel LZ4T decode throughput (pointer-doubling resolve).
+
+    Reports both the device resolve (copy program already in HBM, fenced)
+    and the end-to-end decode including the host framing/parse pass.  The
+    honest context for the numbers: every doubling step is a
+    data-dependent gather, measured ~70 Melem/s on this chip regardless of
+    index locality — so the host C++ decoder stays the production path and
+    this sweep documents the capability's physics (see the committed
+    ``results/lz4t_decode_device.json``).
+    """
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.formats.fast_frame import encode_fast
+    from lz4jpeg_tpu.native import native_available, native_backend
+    from lz4jpeg_tpu.ops.lz4t_decode import (
+        build_copy_program_fast,
+        depth_to_steps,
+        resolve_blocks,
+    )
+
+    corpus = load_corpus()
+    results = []
+    artifact = {"gather_melem_s": 70.0, "entries": []}
+    for mb in sizes_mb or [1, 4, 16]:
+        data = (corpus * (-(-mb * 1 << 20) // len(corpus) + 1))[: mb << 20]
+        frame = encode_fast(data)
+        t0 = _time.perf_counter()
+        lit, src, raw_sizes, p, max_depth = build_copy_program_fast(frame)
+        parse_s = _time.perf_counter() - t0
+        steps = depth_to_steps(max_depth)
+        litj, srcj = jnp.asarray(lit), jnp.asarray(src)
+        f = jax.jit(lambda l, s: resolve_blocks(l, s, steps))
+
+        def step():
+            out = f(litj, srcj)
+            float(jnp.sum(out.astype(jnp.float32)[:, ::257]))  # fence
+
+        r = run_timed(
+            "lz4t_decode_device", step, scale=mb, runs=runs, warmup=1,
+            work=len(data) / 1e6, work_unit="MB",
+        )
+        results.append(r)
+        host_mb_s = None
+        if native_available():
+            t0 = _time.perf_counter()
+            native_backend().decode_fast(frame, len(data))
+            host_mb_s = len(data) / 1e6 / (_time.perf_counter() - t0)
+        artifact["entries"].append(
+            {
+                "mb": mb,
+                "blocks": int(lit.shape[0]),
+                "max_depth": int(max_depth),
+                "doubling_steps": steps,
+                "host_parse_s": parse_s,
+                "device_resolve_mean_s": r.mean_s,
+                "device_resolve_mb_s": r.throughput,
+                "end_to_end_mb_s": len(data) / 1e6 / (r.mean_s + parse_s),
+                "host_native_decode_mb_s": host_mb_s,
+            }
+        )
+        print(
+            f"lz4t device decode {mb:3d} MB: resolve {r.mean_s*1e3:8.1f} ms "
+            f"({r.throughput:6.1f} MB/s), parse {parse_s*1e3:6.1f} ms, "
+            f"depth {max_depth} -> {steps} steps"
+            + (f", host C++ {host_mb_s:.0f} MB/s" if host_mb_s else "")
+        )
+    if output:
+        with open(output, "w") as f_:
+            _json.dump(artifact, f_, indent=1)
+        print(f"wrote {output}")
+    return results
+
+
 def run_lz4_device_experiment(
     batches: Optional[List[int]] = None,
     runs: int = 6,

@@ -81,7 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="benchmark harness")
     bench.add_argument(
         "suite",
-        choices=["headline", "lz4", "lz4-device", "jpeg", "scaling", "roofline"],
+        choices=[
+            "headline", "lz4", "lz4-device", "lz4t-decode", "jpeg",
+            "scaling", "roofline",
+        ],
         default="headline",
     )
     bench.add_argument("--runs", type=int, default=10)
@@ -230,12 +233,15 @@ def _cmd_bench(args) -> int:
         run_jpeg_experiment,
         run_lz4_device_experiment,
         run_lz4_experiment,
+        run_lz4t_decode_device_experiment,
     )
 
     if args.suite == "lz4":
         run_lz4_experiment(runs=args.runs, output=args.output)
     elif args.suite == "lz4-device":
         run_lz4_device_experiment(runs=args.runs)
+    elif args.suite == "lz4t-decode":
+        run_lz4t_decode_device_experiment(runs=args.runs, output=args.output)
     else:
         run_jpeg_experiment(runs=args.runs, output=args.output)
     return 0

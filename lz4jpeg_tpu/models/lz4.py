@@ -16,9 +16,11 @@ the same parse on the host for I/O-bound paths, and ``fast`` mode (64 KiB
 blocks, hash-chain matcher) rides the same frame layer.
 
 Decode unpacks the frame robustly (see ``formats``) and reconstructs with
-the LZ77 copy-back; blocks are independent on the encode side, while decode
-framing is a serial scan over block sizes exactly like the reference
-(LZ4.c:1065-1108).
+the LZ77 copy-back.  Parity-frame framing is a serial scan over block sizes
+exactly like the reference (LZ4.c:1065-1108); the fast (LZ4T) frame keeps
+its size table up front so framing is a prefix sum and match resolution
+runs block-parallel on the device (``ops/lz4t_decode.py``,
+``parallel/lz4.py::sharded_fast_decode``) — pass ``engine="tpu"``.
 """
 
 from __future__ import annotations
@@ -300,7 +302,14 @@ class LZ4Codec:
                 raise FastFormatError("frame size mismatch")
         return written
 
-    def decode(self, compressed: bytes) -> bytes:
+    def decode(self, compressed: bytes, engine: str = "auto") -> bytes:
+        """Decompress a parity or LZ4T frame (format auto-detected).
+
+        ``engine="tpu"`` resolves all match chains on the accelerator —
+        batched pointer doubling per block for LZ4T frames
+        (``ops/lz4t_decode.py``), the global-buffer variant for parity
+        frames (``ops/lz4_decode.py``).  ``"auto"`` decodes on the host
+        (native C++ when built, Python spec otherwise)."""
         from lz4jpeg_tpu.formats.fast_frame import is_fast_frame
 
         if is_fast_frame(compressed):
@@ -309,10 +318,18 @@ class LZ4Codec:
             from lz4jpeg_tpu.formats.fast_frame import decode_fast
             from lz4jpeg_tpu.native import native_available, native_backend
 
+            if engine == "tpu":
+                from lz4jpeg_tpu.ops.lz4t_decode import decode_fast_device
+
+                return decode_fast_device(compressed)
             if native_available():
                 (raw_size,) = struct.unpack_from("<Q", compressed, 8)
                 return native_backend().decode_fast(compressed, raw_size)
             return decode_fast(compressed)
+        if engine == "tpu":
+            from lz4jpeg_tpu.ops.lz4_decode import decode_frame_device
+
+            return decode_frame_device(compressed)
         return decode_frame_bytes(compressed)
 
     def roundtrip(self, data: bytes) -> bytes:

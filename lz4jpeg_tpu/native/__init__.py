@@ -50,6 +50,12 @@ class NativeBackend:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.lz4t_build_copy_program.restype = ctypes.c_int64
+        lib.lz4t_build_copy_program.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.huff_unpack.restype = ctypes.c_ssize_t
         lib.huff_unpack.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64,
@@ -116,6 +122,31 @@ class NativeBackend:
         if n < 0:
             raise RuntimeError(f"native block emit failed ({n})")
         return out.raw[:n]
+
+    def build_copy_program(
+        self, frame: bytes, block_count: int, block_size: int,
+        depth_cap: int = 4,
+    ):
+        """LZ4T frame → device-decode copy program.
+
+        Returns ``(lit (B, P) uint8, src (B, P) int32, raw_sizes (B,) int64,
+        max_depth int)`` with ``src == -1`` at literal positions; chains
+        deeper than ``depth_cap`` are pre-rooted host-side.  See
+        ``lz4core.cpp::lz4t_build_copy_program``."""
+        import numpy as np
+
+        lit = np.zeros((block_count, block_size), np.uint8)
+        src = np.full((block_count, block_size), -1, np.int32)
+        sizes = np.zeros(block_count, np.int64)
+        depth = np.zeros(1, np.int64)
+        got = self._lib.lz4t_build_copy_program(
+            frame, len(frame),
+            lit.ctypes.data, src.ctypes.data, sizes.ctypes.data,
+            depth_cap, depth.ctypes.data,
+        )
+        if got != block_count:
+            raise RuntimeError(f"native copy-program build failed ({got})")
+        return lit, src, sizes, int(depth[0])
 
     def huff_pack(self, codes, lengths) -> tuple:
         """(uint32 codes, uint8 lengths) → (packed bytes, total bits)."""

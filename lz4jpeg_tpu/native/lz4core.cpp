@@ -435,6 +435,125 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
 
 extern "C" {
 
+// Build the device-decode copy program for a whole LZ4T frame: for every
+// block, literal bytes land at their output offsets in `lit` (row-major
+// (block_count, block_size), caller-zeroed) and match positions get their
+// intra-block source index in `src` (caller-filled with -1; -1 = literal).
+// Raw-stored blocks are pure literals.  The TPU then resolves match chains
+// by batched pointer doubling (ops/lz4t_decode.py) — this pass is the only
+// serial part of the decode and runs at memcpy speed.
+//
+// Two depth optimizations keep the device step count minimal:
+//  * self-overlapping matches (offset < length, i.e. periodic runs) are
+//    collapsed analytically — src points at `w-off + (j % off)`, depth 1
+//    instead of length/offset;
+//  * the exact chain depth is tracked per position; chains that would
+//    exceed `depth_cap` are pre-rooted here (the builder keeps the root
+//    array as a byproduct of its left-to-right walk), so the device runs
+//    at most ceil(log2(depth_cap)) doubling steps.  The realized maximum
+//    is written to *max_depth.
+// Returns the block count, or <0 on malformed frames.
+int64_t lz4t_build_copy_program(const uint8_t* data, size_t n, uint8_t* lit,
+                                int32_t* src, int64_t* block_raw_sizes,
+                                int64_t depth_cap, int64_t* max_depth) {
+  if (n < 20) return kErrBadInput;
+  uint32_t magic;
+  std::memcpy(&magic, data, 4);
+  if (magic != kMagic || data[4] != kVersion) return kErrBadInput;
+  const int block_log = data[5];
+  uint64_t raw_size;
+  std::memcpy(&raw_size, data + 8, 8);
+  uint32_t block_count;
+  std::memcpy(&block_count, data + 16, 4);
+  const size_t block_size = 1ull << block_log;
+  size_t p = 20 + 4ull * block_count;
+  if (p > n) return kErrBadInput;
+  uint64_t done = 0;
+  std::vector<int32_t> depth(block_size);
+  std::vector<int32_t> root(block_size);
+  int64_t deepest = 0;
+  if (depth_cap < 1) depth_cap = 1;
+  for (uint32_t b = 0; b < block_count; ++b) {
+    uint32_t rec;
+    std::memcpy(&rec, data + 20 + 4ull * b, 4);
+    const size_t expected =
+        raw_size - done < block_size ? static_cast<size_t>(raw_size - done)
+                                     : block_size;
+    uint8_t* lrow = lit + static_cast<size_t>(b) * block_size;
+    int32_t* srow = src + static_cast<size_t>(b) * block_size;
+    if (rec & kRawFlag) {
+      const size_t len = rec & ~kRawFlag;
+      if (len != expected || p + len > n) return kErrBadInput;
+      std::memcpy(lrow, data + p, len);
+      p += len;
+    } else {
+      if (p + rec > n) return kErrBadInput;
+      const uint8_t* payload = data + p;
+      std::memset(depth.data(), 0, expected * sizeof(int32_t));
+      size_t q = 0, w = 0;
+      while (q < rec) {
+        uint8_t token = payload[q++];
+        size_t run = token >> 4;
+        if (run == 15) {
+          uint8_t e;
+          do {
+            if (q >= rec) return kErrBadInput;
+            e = payload[q++];
+            run += e;
+          } while (e == 255);
+        }
+        if (q + run > rec || w + run > expected) return kErrBadInput;
+        std::memcpy(lrow + w, payload + q, run);
+        for (size_t j = 0; j < run; ++j)
+          root[w + j] = static_cast<int32_t>(w + j);
+        q += run;
+        w += run;
+        if (q == rec) break;  // final literals-only sequence
+        if (q + 2 > rec) return kErrBadInput;
+        size_t offset = payload[q] | (payload[q + 1] << 8);
+        q += 2;
+        if (offset == 0 || offset > w) return kErrBadInput;
+        size_t ml = (token & 0xF) + 4;
+        if ((token & 0xF) == 15) {
+          uint8_t e;
+          do {
+            if (q >= rec) return kErrBadInput;
+            e = payload[q++];
+            ml += e;
+          } while (e == 255);
+        }
+        if (w + ml > expected) return kErrBadInput;
+        for (size_t j = 0; j < ml; ++j) {
+          // Periodic self-overlap collapses to one hop into the source
+          // period; non-overlapping matches point straight across.
+          size_t s = w - offset + (j < offset ? j : j % offset);
+          int32_t d = depth[s] + 1;
+          if (d > depth_cap) {
+            s = static_cast<size_t>(root[s]);  // pre-root deep chains
+            d = 1;
+          }
+          srow[w + j] = static_cast<int32_t>(s);
+          depth[w + j] = d;
+          root[w + j] = root[s];
+          if (d > deepest) deepest = d;
+        }
+        w += ml;
+      }
+      if (w != expected) return kErrBadInput;
+      p += rec;
+    }
+    block_raw_sizes[b] = static_cast<int64_t>(expected);
+    done += expected;
+  }
+  if (p != n || done != raw_size) return kErrBadInput;
+  *max_depth = deepest;
+  return static_cast<int64_t>(block_count);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Canonical Huffman decode (host side of the shared-codebook entropy
 // stage).  `lengths` ascending with `symbols` in canonical order (the
 // CanonicalCodebook layout).  Returns symbol count written, or <0.

@@ -118,6 +118,67 @@ def sharded_compressed_sizes(
     return np.asarray(jax.jit(count)(jnp.asarray(is_match)))
 
 
+def sharded_resolve_blocks(
+    lit: np.ndarray, src: np.ndarray, mesh: Mesh, steps: int = None
+) -> np.ndarray:
+    """Device-parallel LZ4T match resolution with the block axis sharded.
+
+    The decode-side mirror of ``sharded_fast_parse``: every device runs the
+    batched pointer-doubling copy-resolve (``ops/lz4t_decode.py``) on its
+    rows of the copy program, then the reconstructed blocks all-gather in
+    original order.  Legal because LZ4T match chains never cross a block —
+    the capability match for the reference's thread-per-block decode
+    (``Algorithms/parallel/LZ4/LZ4.c:1105-1222``), whose create/wait pair
+    had serialized it.  Row count must be a multiple of the mesh size
+    (``pad_to_devices``; all-literal padding rows resolve to themselves).
+    """
+    from lz4jpeg_tpu.ops.lz4t_decode import resolve_blocks
+
+    axis = mesh.axis_names[0]
+    if steps is None:
+        steps = (src.shape[1] - 1).bit_length()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(None, None),
+        check_vma=False,  # all_gather output is replicated (see above)
+    )
+    def resolve_shard(lit_s, src_s):
+        out = resolve_blocks(lit_s, src_s, steps)
+        return jax.lax.all_gather(out, axis, axis=0, tiled=True)
+
+    return np.asarray(
+        jax.jit(resolve_shard)(jnp.asarray(lit), jnp.asarray(src))
+    )
+
+
+def sharded_fast_decode(frame: bytes, mesh: Mesh) -> bytes:
+    """Full LZ4T decode with match resolution sharded over ``mesh``.
+
+    Host does the linear framing/parse pass (prefix-summable thanks to the
+    up-front size table), the mesh resolves all match chains in parallel.
+    """
+    from lz4jpeg_tpu.ops.lz4t_decode import (
+        _trim_rows,
+        build_copy_program_fast,
+        depth_to_steps,
+    )
+    from lz4jpeg_tpu.parallel.mesh import pad_to_devices
+
+    lit, src, raw_sizes, p, max_depth = build_copy_program_fast(frame)
+    if lit.shape[0] == 0:
+        return b""
+    n_dev = mesh.devices.size
+    lit_p, n_blocks = pad_to_devices(lit, n_dev, pad_value=0)
+    src_p, _ = pad_to_devices(src, n_dev, pad_value=-1)
+    out = sharded_resolve_blocks(
+        lit_p, src_p, mesh, steps=depth_to_steps(max_depth)
+    )[:n_blocks]
+    return _trim_rows(out, raw_sizes)
+
+
 def multihost_fast_encode(data: bytes) -> bytes:
     """Cross-host fast-mode LZ4 encode: every process matches + emits its
     strided slice of the block axis, payloads gather in original block
