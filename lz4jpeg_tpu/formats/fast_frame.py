@@ -120,7 +120,11 @@ def emit_block_from_parse(
 
     ``is_match[k]`` marks a sequence starting at ``k`` with total match
     length ``emit_len[k]`` (≥4) at distance ``emit_dist[k]``; the gaps are
-    literals.  Python twin of the native ``lz4t_emit_block``.
+    literals.  Each taken match is greedily extended while the distance-d
+    prediction keeps holding, undoing the device matcher's sort-carry
+    length cap and its parse-segment truncation for free (parse marks
+    swallowed by an extension are skipped).  Python twin of the native
+    ``lz4t_emit_block``.
     """
     out = bytearray()
     n = len(block)
@@ -130,10 +134,12 @@ def emit_block_from_parse(
         if not is_match[k]:
             k += 1
             continue
-        _emit_sequence(
-            out, block[anchor:k], int(emit_dist[k]), int(emit_len[k])
-        )
-        k += int(emit_len[k])
+        length = int(emit_len[k])
+        d = int(emit_dist[k])
+        while k + length < n and block[k + length] == block[k + length - d]:
+            length += 1
+        _emit_sequence(out, block[anchor:k], d, length)
+        k += length
         anchor = k
     _emit_final(out, block[anchor:n])
     return bytes(out)

@@ -130,21 +130,26 @@ class LZ4Codec:
         emit_len[r, c] = packed_h[slot] >> pos_bits
         emit_dist[r, c] = packed_h[slot] & (p - 1)
 
-        native = native_backend() if native_available() else None
-        payloads, raws = [], []
-        for bi in range(num_blocks):
-            n = int(lengths[bi])
-            raw = data_u8[bi, :n].tobytes()
-            if native is not None:
-                payload = native.emit_block(
-                    raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
+        raws = [
+            data_u8[bi, : int(lengths[bi])].tobytes()
+            for bi in range(num_blocks)
+        ]
+        if native_available():
+            # All blocks in one native call — the per-block ctypes loop was
+            # the host-side wall for multi-GB inputs (VERDICT r1 #5).
+            payloads = native_backend().emit_blocks(
+                data_u8, lengths, is_match, emit_len, emit_dist
+            )
+        else:
+            payloads = [
+                emit_block_from_parse(
+                    raws[bi],
+                    is_match[bi, : int(lengths[bi])],
+                    emit_len[bi, : int(lengths[bi])],
+                    emit_dist[bi, : int(lengths[bi])],
                 )
-            else:
-                payload = emit_block_from_parse(
-                    raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
-                )
-            payloads.append(payload)
-            raws.append(raw)
+                for bi in range(num_blocks)
+            ]
         return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
 
     def _encode_parity(self, data: bytes) -> bytes:

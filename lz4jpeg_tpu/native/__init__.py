@@ -50,6 +50,13 @@ class NativeBackend:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.lz4t_emit_blocks.restype = ctypes.c_int64
+        lib.lz4t_emit_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
         lib.lz4t_build_copy_program.restype = ctypes.c_int64
         lib.lz4t_build_copy_program.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -122,6 +129,38 @@ class NativeBackend:
         if n < 0:
             raise RuntimeError(f"native block emit failed ({n})")
         return out.raw[:n]
+
+    def emit_blocks(self, data, lengths, is_match, emit_len, emit_dist):
+        """Batched LZ4T payloads from (B, P) parse arrays — one native call.
+
+        ``data`` is the padded (B, P) uint8 block matrix; ``lengths`` the
+        valid prefix per row.  Returns a list of B payload ``bytes``.
+        """
+        import numpy as np
+
+        data = np.ascontiguousarray(data, np.uint8)
+        b, p = data.shape
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        is_match = np.ascontiguousarray(is_match, np.uint8)
+        emit_len = np.ascontiguousarray(emit_len, np.int32)
+        emit_dist = np.ascontiguousarray(emit_dist, np.int32)
+        cap = int(lengths.astype(np.int64).sum()) + b * (p // 128 + 64)
+        out = ctypes.create_string_buffer(cap)
+        sizes = np.zeros(b, np.int64)
+        total = self._lib.lz4t_emit_blocks(
+            data.ctypes.data_as(ctypes.c_char_p), b, p,
+            lengths.ctypes.data,
+            is_match.ctypes.data_as(ctypes.c_char_p),
+            emit_len.ctypes.data, emit_dist.ctypes.data,
+            out, cap, sizes.ctypes.data,
+        )
+        if total < 0:
+            raise RuntimeError(f"native batched emit failed ({total})")
+        buf = out.raw[:total]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        return [
+            buf[offsets[i] : offsets[i + 1]] for i in range(b)
+        ]
 
     def build_copy_program(
         self, frame: bytes, block_count: int, block_size: int,

@@ -394,7 +394,12 @@ extern "C" {
 
 // Emit one LZ4T block payload from parse arrays (TPU fast-path serializer):
 // is_match[k]=1 marks a sequence start at k with emit_len[k]/emit_dist[k];
-// gaps are literals.  Returns payload bytes written, or <0.
+// gaps are literals.  Each taken match is greedily EXTENDED while the
+// distance-d prediction keeps holding: the device matcher caps lengths at
+// its sort-carry width (4*LCP_WORDS bytes) and truncates at parse-segment
+// boundaries, but the raw bytes are on hand here, so the cap costs nothing
+// at emission time.  Parse marks swallowed by an extension are skipped.
+// Returns payload bytes written, or <0.
 int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
                         const int32_t* emit_len, const int32_t* emit_dist,
                         uint8_t* out, size_t out_cap) {
@@ -407,7 +412,10 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
       continue;
     }
     size_t lit = i - anchor;
-    size_t ml = static_cast<size_t>(emit_len[i]) - 4;
+    size_t len = static_cast<size_t>(emit_len[i]);
+    const size_t d = static_cast<size_t>(emit_dist[i]);
+    while (i + len < n && data[i + len] == data[i + len - d]) ++len;
+    size_t ml = len - 4;
     if (w + 1 + lit / 255 + 3 + lit + 2 + ml / 255 + 2 > w_end)
       return kErrOutputFull;
     *w++ = static_cast<uint8_t>(((lit < 15 ? lit : 15) << 4) |
@@ -415,11 +423,11 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
     if (lit >= 15) w = emit_ext_raw(w, lit - 15);
     std::memcpy(w, data + anchor, lit);
     w += lit;
-    uint16_t off = static_cast<uint16_t>(emit_dist[i]);
+    uint16_t off = static_cast<uint16_t>(d);
     std::memcpy(w, &off, 2);
     w += 2;
     if (ml >= 15) w = emit_ext_raw(w, ml - 15);
-    i += static_cast<size_t>(emit_len[i]);
+    i += len;
     anchor = i;
   }
   size_t lit = n - anchor;
@@ -428,6 +436,32 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
   if (lit >= 15) w = emit_ext_raw(w, lit - 15);
   std::memcpy(w, data + anchor, lit);
   w += lit;
+  return static_cast<int64_t>(w - out);
+}
+
+// Batched emitter: B padded blocks with row stride `stride`, valid prefix
+// lengths[b].  Payloads land back-to-back in `out`, per-block sizes in
+// `sizes`.  One call replaces B ctypes round trips (the Python-per-block
+// host tail that walled fast-mode encode at multi-GB inputs).  Returns
+// total bytes written, or <0.
+int64_t lz4t_emit_blocks(const uint8_t* data, int64_t num_blocks,
+                         int64_t stride, const int32_t* lengths,
+                         const uint8_t* is_match, const int32_t* emit_len,
+                         const int32_t* emit_dist, uint8_t* out,
+                         size_t out_cap, int64_t* sizes) {
+  uint8_t* w = out;
+  size_t rem = out_cap;
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    const size_t off = static_cast<size_t>(b) * static_cast<size_t>(stride);
+    int64_t got =
+        lz4t_emit_block(data + off, static_cast<size_t>(lengths[b]),
+                        is_match + off, emit_len + off, emit_dist + off,
+                        w, rem);
+    if (got < 0) return got;
+    sizes[b] = got;
+    w += got;
+    rem -= static_cast<size_t>(got);
+  }
   return static_cast<int64_t>(w - out);
 }
 

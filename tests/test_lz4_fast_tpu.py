@@ -73,8 +73,11 @@ class TestEndToEnd:
         host = codec.encode(metamorphosis, engine="python")
         assert len(enc) < len(metamorphosis)
         # All-positions insertion finds at least as many candidates as the
-        # single-probe host table; allow slack for the smaller block size.
-        assert len(enc) < len(host) * 1.1
+        # single-probe host table, and emission-time greedy extension
+        # undoes the carry cap / segment truncation — the TPU parse now
+        # matches or beats the host encoder's ratio (measured 75,699 vs
+        # 75,777 B on this corpus).
+        assert len(enc) <= len(host) * 1.02
 
     def test_noise_stored_raw(self, rng):
         codec = LZ4Codec(LZ4Config(mode="fast"))
@@ -103,6 +106,45 @@ class TestNativeEmitter:
             raw, is_match[0, :n], emit_len[0, :n], emit_dist[0, :n]
         )
         assert nat == py
+
+    def test_batched_matches_per_block(self, metamorphosis):
+        data = (metamorphosis * 2)[:100_000]
+        padded, lengths, is_match, emit_len, emit_dist = parse(data)
+        nat = native_backend()
+        batched = nat.emit_blocks(
+            padded.astype(np.uint8), lengths, is_match, emit_len, emit_dist
+        )
+        assert len(batched) == padded.shape[0]
+        for bi, payload in enumerate(batched):
+            n = int(lengths[bi])
+            raw = bytes(padded[bi, :n].astype(np.uint8))
+            assert payload == nat.emit_block(
+                raw, is_match[bi, :n], emit_len[bi, :n], emit_dist[bi, :n]
+            )
+
+
+class TestEmitterExtension:
+    """Greedy extension at emission undoes the carry cap / SEG truncation."""
+
+    def test_giant_run_emits_one_sequence_per_block(self):
+        from lz4jpeg_tpu.ops.lz4_fast import LCP_WORDS
+
+        data = b"x" * 8192  # parse splits at 4*LCP_WORDS; emission must not
+        padded, lengths, is_match, emit_len, emit_dist = parse(data)
+        assert emit_len.max() <= 4 * LCP_WORDS  # parse stays capped
+        payload = emit_block_from_parse(
+            data, is_match[0], emit_len[0], emit_dist[0]
+        )
+        # One literal-opening sequence with a run-length match spanning the
+        # rest of the block: a handful of bytes, not 8192/32 sequences.
+        assert len(payload) < 64
+
+    def test_extension_respects_block_end(self, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        for n in (16384 - 1, 16384, 16384 + 1, 40000):
+            data = (b"ab" * 10000 + metamorphosis)[:n]
+            enc = codec.encode(data, engine="tpu")
+            assert codec.decode(enc) == data
 
 
 class TestSortMatcherInvariants:
