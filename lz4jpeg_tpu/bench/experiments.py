@@ -205,6 +205,7 @@ def run_lz4_device_experiment(
     batches: Optional[List[int]] = None,
     runs: int = 6,
     seed: int = 0,
+    output: Optional[str] = None,
 ) -> List[BenchResult]:
     """Device-resident LZ4 match+parse throughput (the nvcomp-style per-chip
     metric: data already in HBM, parse fields staying in HBM).
@@ -248,4 +249,6 @@ def run_lz4_device_experiment(
             f"lz4 device match {mb:7.1f} MB/batch: mean {r.mean_s*1e3:8.2f} ms "
             f"({r.throughput:7.1f} MB/s fenced)"
         )
+    if output:
+        _write_reference_schema(output, results, "batch_blocks")
     return results

@@ -23,6 +23,7 @@ def jpeg_scaling_sweep(
     image_size: int = 512,
     mesh_sizes: Optional[List[int]] = None,
     runs: int = 5,
+    output: Optional[str] = None,
 ) -> List[Dict]:
     import jax
 
@@ -76,4 +77,16 @@ def jpeg_scaling_sweep(
             f"{n} devices: {mean*1e3:.2f} ms  speedup {speedup:.2f}x  "
             f"efficiency {results[-1]['efficiency']:.2f}"
         )
+    if output:
+        import json
+
+        payload = {
+            "image_size": image_size,
+            "platform": jax.devices()[0].platform,
+            "runs": runs,
+            "entries": results,
+        }
+        with open(output, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {output}")
     return results

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--mode", choices=["parity", "fast"], default="fast")
     enc.add_argument("--block-length", type=int, default=300)
     enc.add_argument("--hexdump", help="also write a hex mirror (compressed.txt)")
+    enc.add_argument(
+        "--log",
+        help="append an encode record + frame structure to this file "
+        "(the reference's encoding_log.txt)",
+    )
     dec = lz4_sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("output")
@@ -106,7 +111,11 @@ def _cmd_lz4(args) -> int:
         return 0
     if args.action == "encode":
         codec = LZ4Codec(
-            LZ4Config(mode=args.mode, block_length=args.block_length)
+            LZ4Config(
+                mode=args.mode,
+                block_length=args.block_length,
+                log_path=args.log,
+            )
         )
         out = codec.encode(data)
         with open(args.output, "wb") as f:
@@ -227,7 +236,7 @@ def _cmd_bench(args) -> int:
         print(f"devices: {len(jax.devices())}")
         from lz4jpeg_tpu.bench.scaling import jpeg_scaling_sweep
 
-        jpeg_scaling_sweep(runs=args.runs)
+        jpeg_scaling_sweep(runs=args.runs, output=args.output)
         return 0
     from lz4jpeg_tpu.bench.experiments import (
         run_jpeg_experiment,
@@ -239,7 +248,7 @@ def _cmd_bench(args) -> int:
     if args.suite == "lz4":
         run_lz4_experiment(runs=args.runs, output=args.output)
     elif args.suite == "lz4-device":
-        run_lz4_device_experiment(runs=args.runs)
+        run_lz4_device_experiment(runs=args.runs, output=args.output)
     elif args.suite == "lz4t-decode":
         run_lz4t_decode_device_experiment(runs=args.runs, output=args.output)
     else:

@@ -29,6 +29,10 @@ class LZ4Config:
     # truncation, signed-char decode, ≤255 blocks).  "fast" uses sane 64 KiB
     # blocks, a hash-chain matcher and a widened frame header.
     mode: str = "parity"
+    # Append-mode encode log (the reference opens encoding_log.txt on every
+    # encode, LZ4.c:24,683, and threads it to the frame/block/sequence
+    # printers at :220-287).  None disables logging.
+    log_path: Optional[str] = None
 
     def __post_init__(self):
         # The reference rejects this exact value (LZ4.c:672-677, :1040-1045).

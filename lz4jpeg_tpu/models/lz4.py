@@ -75,16 +75,39 @@ class LZ4Codec:
         frames decodable by every decoder (match choices may differ).
         """
         if self.config.mode == "parity":
-            return self._encode_parity(data)
+            return self._log_encode(data, self._encode_parity(data))
         if engine == "tpu":
-            return self._encode_fast_tpu(data)
+            return self._log_encode(data, self._encode_fast_tpu(data))
         from lz4jpeg_tpu.native import native_available, native_backend
 
         if engine == "native" or (engine == "auto" and native_available()):
-            return native_backend().encode_fast(data)
+            return self._log_encode(data, native_backend().encode_fast(data))
         from lz4jpeg_tpu.formats.fast_frame import encode_fast
 
-        return encode_fast(data)
+        return self._log_encode(data, encode_fast(data))
+
+    def _log_encode(self, data: bytes, frame: bytes) -> bytes:
+        """Append an encode record to the configured log — the role of the
+        reference's ``encoding_log.txt`` + ``print_frame_details``
+        (LZ4.c:24,683 opens the log per encode; :220-287 are the printers).
+        Full per-sequence structure is logged for parity frames (bounded at
+        ≤255 blocks by the format); fast frames get the block-size summary.
+        """
+        if self.config.log_path is None:
+            return frame
+        from lz4jpeg_tpu.formats.lz4_frame import describe_frame
+        from lz4jpeg_tpu.utils.io import EncodingLog
+
+        log = EncodingLog(self.config.log_path)
+        log.write(
+            f"encode mode={self.config.mode} in={len(data)}B "
+            f"out={len(frame)}B ratio={len(frame)/max(len(data),1):.4f}"
+        )
+        detail = describe_frame(frame).splitlines()
+        if len(detail) > 1024:  # keep multi-GB encodes from exploding the log
+            detail = detail[:1024] + [f"... ({len(detail) - 1024} more lines)"]
+        log.write("\n".join(detail))
+        return frame
 
     def _encode_fast_tpu(self, data: bytes) -> bytes:
         """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9).

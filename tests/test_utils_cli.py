@@ -139,6 +139,28 @@ class TestCLI:
         assert cli_main(["lz4", "decode", str(comp), str(dec)]) == 0
         assert dec.read_bytes() == golden_input
 
+    def test_lz4_encode_writes_log(self, tmp_path, golden_input):
+        """The reference opens encoding_log.txt on every encode
+        (LZ4.c:24,683); --log wires the same record through EncodingLog."""
+        src = tmp_path / "in.txt"
+        src.write_bytes(golden_input)
+        comp = tmp_path / "out.bin"
+        logf = tmp_path / "encoding_log.txt"
+        rc = cli_main(
+            ["lz4", "encode", str(src), str(comp), "--mode", "parity",
+             "--log", str(logf)]
+        )
+        assert rc == 0
+        text = logf.read_text()
+        assert "encode mode=parity in=350B" in text
+        assert "parity frame:" in text and "seq 0:" in text
+        # Append semantics: a second encode adds a second record.
+        cli_main(
+            ["lz4", "encode", str(src), str(comp), "--mode", "parity",
+             "--log", str(logf)]
+        )
+        assert logf.read_text().count("encode mode=parity") == 2
+
     def test_jpeg_encode_decode_files(self, tmp_path, rng):
         src = tmp_path / "in.png"
         write_png(str(src), generate_noise_image(16, 16, rng))
@@ -215,13 +237,21 @@ class TestProfiling:
 
 
 class TestScaling:
-    def test_sweep_runs_on_cpu_mesh(self):
+    def test_sweep_runs_on_cpu_mesh(self, tmp_path):
+        import json
+
         from lz4jpeg_tpu.bench.scaling import jpeg_scaling_sweep
 
-        results = jpeg_scaling_sweep(image_size=64, mesh_sizes=[1, 2], runs=2)
+        out = tmp_path / "scaling.json"
+        results = jpeg_scaling_sweep(
+            image_size=64, mesh_sizes=[1, 2], runs=2, output=str(out)
+        )
         assert [r["devices"] for r in results] == [1, 2]
         assert results[0]["speedup"] == 1.0
         assert all(r["mean_s"] > 0 for r in results)
+        payload = json.loads(out.read_text())
+        assert payload["image_size"] == 64
+        assert [e["devices"] for e in payload["entries"]] == [1, 2]
 
 
 class TestHarnessRetry:
