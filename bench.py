@@ -61,10 +61,14 @@ def main() -> None:
     # the single float() at the end of a run transitively forces all
     # ``chain`` executions — pipelined dispatch, serving-style.
     def forward_fenced(rgb_batch, carry):
-        out = jax.vmap(pipeline._forward_impl)(rgb_batch)
+        # Fence exactly what production ships (the int16 RLE pairs +
+        # lengths, models/jpeg.py::_forward_rle_impl); checksumming the zz
+        # intermediate too would force XLA to materialize a (N, 64) f32
+        # tensor per channel that the real pipeline fuses away.
+        out = jax.vmap(pipeline._forward_rle_impl)(rgb_batch)
         return carry + sum(
-            jnp.sum(v["rle"]) + jnp.sum(v["zz"].astype(jnp.float32))
-            for v in out.values()
+            jnp.sum(p.astype(jnp.float32)) + jnp.sum(l.astype(jnp.float32))
+            for p, l in out.values()
         )
 
     forward = jax.jit(forward_fenced)

@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
         "suite",
         choices=[
             "headline", "lz4", "lz4-device", "lz4t-decode", "jpeg",
-            "scaling", "roofline",
+            "scaling", "roofline", "entropy-ab",
         ],
         default="headline",
     )
@@ -218,6 +218,16 @@ def _cmd_lzw(args) -> int:
 
 
 def _cmd_bench(args) -> int:
+    import os
+
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms:
+        # The session sitecustomize pins the TPU tunnel platform over
+        # JAX_PLATFORMS; re-assert the caller's choice (e.g. cpu for the
+        # virtual-mesh scaling sweep) via the config API.
+        import jax
+
+        jax.config.update("jax_platforms", env_platforms)
     if args.suite == "headline":
         import bench as headline  # repo-root bench.py
 
@@ -227,6 +237,11 @@ def _cmd_bench(args) -> int:
         from lz4jpeg_tpu.bench.roofline import run_jpeg_forward_roofline
 
         run_jpeg_forward_roofline(output=args.output)
+        return 0
+    if args.suite == "entropy-ab":
+        from lz4jpeg_tpu.bench.entropy_ab import run_entropy_ab
+
+        run_entropy_ab(runs=args.runs, output=args.output)
         return 0
     if args.suite == "scaling":
         import jax

@@ -188,10 +188,13 @@ def pack_symbols_device(
     Jit-compatible variant of ``pack_symbols``: every output *bit* finds its
     source symbol with one ``searchsorted`` over the exclusive bit-offset
     prefix sum, extracts its bit of the codeword, and the bit matrix folds
-    to bytes with a (·,8)×(8,) dot.  NOTE: on TPU stacks where
-    data-dependent gathers serialize (see ops/rle.py), this op is for
-    small/occasional streams only — the production entropy stage is the
-    native C++ single-pass packer (``native.huff_pack_pairs``).
+    to bytes with a (·,8)×(8,) dot.  NOTE: measured on the real chip
+    (``bench/entropy_ab.py`` → committed ``results/entropy_ab.json``), the
+    per-bit searchsorted serializes: ~1.1 s for the 1024² luma stream vs
+    ~14 ms for the native C++ packer even after paying the device→host
+    pull of the pairs — so the production entropy stage is the native
+    single-pass packer (``native.huff_pack_pairs``) and this op serves
+    device-resident pipelines that need occasional in-graph packing.
 
     ``pad_bits`` is the static output capacity in bits (a multiple of 8);
     jit recompiles only per capacity bucket, not per input.  Returns

@@ -254,6 +254,28 @@ class TestScaling:
         assert [e["devices"] for e in payload["entries"]] == [1, 2]
 
 
+class TestEntropyAB:
+    def test_ab_runs_and_paths_agree(self, tmp_path):
+        """The A/B harness (VERDICT r1 #7) must produce bit-identical
+        streams from both placements and write a decision artifact."""
+        import json
+
+        pytest.importorskip("lz4jpeg_tpu.native")
+        from lz4jpeg_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        from lz4jpeg_tpu.bench.entropy_ab import run_entropy_ab
+
+        out = tmp_path / "ab.json"
+        artifact = run_entropy_ab(image_size=32, runs=2, output=str(out))
+        assert artifact["decision"] in ("host", "device")
+        payload = json.loads(out.read_text())
+        assert set(payload["channels"]) == {"lum", "r", "b"}
+        for entry in payload["channels"].values():
+            assert entry["packed_bytes_d2h"] <= entry["pairs_bytes_d2h"]
+
+
 class TestHarnessRetry:
     def test_retries_then_succeeds(self):
         from lz4jpeg_tpu.bench.harness import run_timed
