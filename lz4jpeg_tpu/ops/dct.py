@@ -43,8 +43,12 @@ def dct2_batched(values: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     x = values.astype(dtype) - 128.0
     ah = jnp.asarray(ah, dtype)
     aw = jnp.asarray(aw, dtype)
+    # "highest": TPU f32 matmuls otherwise run bf16 multiplies (measured
+    # 1426/262144 wrong quantized coefficients on-chip vs 3 at highest —
+    # profiles/check_matmul_precision.py).
     coeff = jnp.einsum(
-        "ux,nxy,vy->nuv", ah, x, aw, preferred_element_type=dtype
+        "ux,nxy,vy->nuv", ah, x, aw, preferred_element_type=dtype,
+        precision="highest",
     )
     scale = jnp.asarray(np.outer(alpha_h, alpha_w), dtype)
     return coeff * scale
@@ -64,7 +68,8 @@ def idct2_batched(coefficients: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     ah = jnp.asarray(ah, dtype)
     aw = jnp.asarray(aw, dtype)
     x = jnp.einsum(
-        "ux,nuv,vy->nxy", ah, c, aw, preferred_element_type=dtype
+        "ux,nuv,vy->nxy", ah, c, aw, preferred_element_type=dtype,
+        precision="highest",
     )
     shifted = x + 128.0
     rounded = jnp.sign(shifted) * jnp.floor(jnp.abs(shifted) + 0.5)

@@ -103,7 +103,14 @@ def fused_forward_jnp(
     m, off = forward_basis(width, height, _table_key(table))
     n = tiles.shape[0]
     x = tiles.reshape(n, height * width).astype(dtype)
-    ratio = x @ jnp.asarray(m.T, dtype) - jnp.asarray(off, dtype)
+    # "highest": TPU f32 matmuls default to bf16 multiplies, which flips
+    # ~0.5% of quantized coefficients across trunc boundaries on-chip
+    # (profiles/check_matmul_precision.py: 1426/262144 wrong at default,
+    # 3 at highest — the residue is f32-vs-f64 rounding at boundaries,
+    # inherent to the fast path; exact mode stays the oracle).
+    ratio = jnp.matmul(
+        x, jnp.asarray(m.T, dtype), precision="highest"
+    ) - jnp.asarray(off, dtype)
     nearest = jnp.round(ratio)
     ratio = jnp.where(jnp.abs(ratio - nearest) <= snap_eps, nearest, ratio)
     return jnp.trunc(ratio)
@@ -116,7 +123,12 @@ def fused_inverse_jnp(
     """(N, HW) zigzag quantized coefficients → (N, H, W) uint8 pixels."""
     minv = inverse_basis(width, height, _table_key(table))
     n = zz.shape[0]
-    pix = zz.astype(dtype) @ jnp.asarray(minv.T, dtype) + 128.0
+    pix = (
+        jnp.matmul(
+            zz.astype(dtype), jnp.asarray(minv.T, dtype), precision="highest"
+        )
+        + 128.0
+    )
     # C round(): half away from zero (JPEG.c:443).
     rounded = jnp.sign(pix) * jnp.floor(jnp.abs(pix) + 0.5)
     return (
