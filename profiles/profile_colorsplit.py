@@ -88,7 +88,9 @@ BIAS = jnp.asarray([0.0, 128.0, 128.0], jnp.float32)
 def split_c(rgb):
     h, w, _ = rgb.shape
     flat = rgb.reshape(h * w, 3).astype(jnp.float32)
-    ycc = flat @ M + BIAS  # (HW, 3) interleaved Y/Cr/Cb
+    # highest: bf16-multiply default flips trunc boundaries (see
+    # profiles/check_matmul_precision.py)
+    ycc = jnp.matmul(flat, M, precision="highest") + BIAS
     ycc = _snap_trunc(ycc)
     ycc = ycc.reshape(h, w, 3)
     y = ycc[..., 0].astype(jnp.uint8)

