@@ -59,6 +59,40 @@ class TestFusedForward:
         np.testing.assert_array_equal(fused, 0)
 
 
+class TestMatmulPrecision:
+    """Guard against the TPU bf16-multiply default: all DCT-path matmuls
+    must request HIGHEST precision, else ~0.5% of quantized coefficients
+    flip across trunc boundaries on the real chip
+    (profiles/check_matmul_precision.py, results/formulation_ab.json).
+    The CPU cannot reproduce the flip, but the lowered jaxpr can be
+    inspected anywhere."""
+
+    def test_forward_paths_request_highest(self):
+        import jax
+
+        fns = {
+            "fused_forward": lambda t: fused_forward_jnp(
+                t, LUMINANCE_QUANTIZATION_TABLE, 8, 8
+            ),
+            "fused_inverse": lambda t: fused_inverse_jnp(
+                t.reshape(-1, 64).astype(jnp.float32),
+                LUMINANCE_QUANTIZATION_TABLE, 8, 8,
+            ),
+            "dct2": lambda t: dct2_batched(t, jnp.float32),
+            "idct2": lambda t: idct2_batched(
+                t.astype(jnp.float32), jnp.float32
+            ),
+        }
+        for name, fn in fns.items():
+            jaxpr = str(
+                jax.make_jaxpr(fn)(jnp.zeros((4, 8, 8), jnp.uint8))
+            )
+            assert "HIGHEST" in jaxpr, f"{name} lost HIGHEST precision"
+            assert "Precision.DEFAULT" not in jaxpr, (
+                f"{name} has a default-precision dot"
+            )
+
+
 class TestFusedInverse:
     @pytest.mark.parametrize("w,h", [(8, 8), (4, 8)])
     def test_matches_staged_f64(self, rng, w, h):
