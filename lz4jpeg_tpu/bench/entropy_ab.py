@@ -70,6 +70,10 @@ def run_entropy_ab(
     rng = np.random.default_rng(0)
     img = generate_noise_image(image_size, image_size, rng)
     pipe = JPEGPipeline(JPEGConfig())
+    # This A/B deliberately measures the int32/int16 PAIR layout (the
+    # decision artifact predates pack16 and stays comparable to it);
+    # disable the packed-u16 transfer layout before the first trace.
+    pipe._pack16 = False
     slim = pipe._forward_rle(jnp.asarray(img))
     jax.block_until_ready(slim)
 

@@ -55,7 +55,14 @@ from lz4jpeg_tpu.ops.quantize import (
     quantize,
     scale_table,
 )
-from lz4jpeg_tpu.ops.rle import rle_decode_batched, rle_encode_batched
+from lz4jpeg_tpu.ops.rle import (
+    pack16_pairs,
+    rle_decode_batched,
+    rle_decode_packed16,
+    rle_encode_batched,
+    rle_encode_packed16,
+    unpack16_pairs,
+)
 from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
 from lz4jpeg_tpu.oracle import jpeg_oracle
 
@@ -106,6 +113,10 @@ class JPEGEncoded:
     rle: Dict[str, np.ndarray]
     rle_lengths: Dict[str, np.ndarray]
     entropy_mode: Optional[str] = None
+    # True: rle holds the packed-u16 pair layout ((count-1)<<10 | value+512,
+    # one uint16 per pair, ops/rle.py) — half the tunnel bytes of the int32
+    # pair layout.  Set when the quant tables bound |value| ≤ 511.
+    rle_packed16: bool = False
     # shared mode: per-channel (codebook, packed bytes, bit count).
     shared_streams: Optional[Dict[str, Tuple[CanonicalCodebook, bytes, int]]] = None
     # per_block mode: per-channel list of '0'/'1' strings (parity artifact).
@@ -144,7 +155,9 @@ class JPEGPipeline:
         # MCU-count bucket — bounded recompiles when serving many sizes.
         self._split_stage = jax.jit(self._split_impl)
         self._mcu_forward = jax.jit(self._mcu_forward_impl)
-        self._mcu_inverse = jax.jit(self._mcu_inverse_impl)
+        self._mcu_inverse = jax.jit(
+            self._mcu_inverse_impl, static_argnames=("packed16",)
+        )
         if config.precision == "exact" and not jax.config.jax_enable_x64:
             # Without x64, float64 silently degrades to f32 and the pipeline
             # loses coefficient-exact parity — fail loudly instead.  Exact
@@ -157,9 +170,23 @@ class JPEGPipeline:
             )
         self.config = config
         self._tables = scaled_tables(config.quality)
+        # Packed-u16 RLE transfer layout: |quantized value| ≤
+        # ⌊sqrt(HW)·128 / min(table)⌋ must fit 10 bits signed, i.e.
+        # min(table) ≥ 3.  True for the reference tables (min 6 / 17);
+        # extreme quality settings fall back to int16 pairs.  Halves the
+        # dominant tunnel transfers (profiles/profile_roundtrip_e2e.py:
+        # the RLE-pair d2h is 1.0 s of the 2.65 s 2048² round trip).
+        # Fast-precision only: exact mode is the CPU verification path,
+        # whose public RLE artifacts stay oracle-comparable int pairs.
+        self._pack16 = (
+            config.precision == "fast"
+            and config.entropy == "shared"
+            and all(int(np.min(t)) >= 3 for t in self._tables.values())
+        )
         self._forward = jax.jit(self._forward_impl)
         self._inverse = jax.jit(
-            self._inverse_impl, static_argnames=("bpc", "bpr", "height", "width")
+            self._inverse_impl,
+            static_argnames=("bpc", "bpr", "height", "width", "packed16"),
         )
 
     # ------------------------------------------------------------------
@@ -202,8 +229,13 @@ class JPEGPipeline:
         fused = self.config.precision == "fast"
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
-            pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
-            out[name] = (pairs.astype(jnp.int16), lengths.astype(jnp.int32))
+            if self._pack16:
+                out[name] = rle_encode_packed16(zz.astype(jnp.int16))
+            else:
+                pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
+                out[name] = (
+                    pairs.astype(jnp.int16), lengths.astype(jnp.int32)
+                )
         return out
 
     def encode_bucketed(self, rgb: np.ndarray, entropy: bool = True) -> "JPEGEncoded":
@@ -229,12 +261,16 @@ class JPEGPipeline:
             blocks_per_col=bpc,
             blocks_per_row=bpr,
             rle={
-                c: np.asarray(streams[c][0][:n], dtype=np.int32)
+                c: np.asarray(
+                    streams[c][0][:n],
+                    dtype=np.uint16 if self._pack16 else np.int32,
+                )
                 for c in CHANNELS
             },
             rle_lengths={
                 c: np.asarray(streams[c][1][:n]) for c in CHANNELS
             },
+            rle_packed16=self._pack16,
             quality=self.config.quality,
         )
         if entropy:
@@ -249,6 +285,11 @@ class JPEGPipeline:
         quantized coefficients are bounded by ±(8·128)/min(table) ≈ ±341,
         both well inside int16."""
         out = self._forward_impl(rgb)
+        if self._pack16:
+            return {
+                c: (pack16_pairs(v["rle"]), v["rle_lengths"].astype(jnp.int32))
+                for c, v in out.items()
+            }
         return {
             c: (v["rle"].astype(jnp.int16), v["rle_lengths"].astype(jnp.int32))
             for c, v in out.items()
@@ -263,15 +304,17 @@ class JPEGPipeline:
         bpr: int,
         height: int,
         width: int,
+        packed16: bool = False,
     ) -> jnp.ndarray:
         """Padded RLE pairs → reconstructed RGB.  Mirrors the inverse chain
         JPEG.c:1348-1428."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
+        rle_decode = rle_decode_packed16 if packed16 else rle_decode_batched
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
-            zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
+            zz = rle_decode(rle[name], rle_lengths[name], h * w)
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return ycbcr_to_rgb_mcus(
             rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
@@ -290,8 +333,15 @@ class JPEGPipeline:
             width=w,
             blocks_per_col=bpc,
             blocks_per_row=bpr,
-            rle={c: np.asarray(slim[c][0], dtype=np.int32) for c in CHANNELS},
+            rle={
+                c: np.asarray(
+                    slim[c][0],
+                    dtype=np.uint16 if self._pack16 else np.int32,
+                )
+                for c in CHANNELS
+            },
             rle_lengths={c: np.asarray(slim[c][1]) for c in CHANNELS},
+            rle_packed16=self._pack16,
             quality=self.config.quality,
         )
         if entropy:
@@ -319,10 +369,14 @@ class JPEGPipeline:
                 blocks_per_col=bpc,
                 blocks_per_row=bpr,
                 rle={
-                    c: np.asarray(slim[c][0][i], dtype=np.int32)
+                    c: np.asarray(
+                        slim[c][0][i],
+                        dtype=np.uint16 if self._pack16 else np.int32,
+                    )
                     for c in CHANNELS
                 },
                 rle_lengths={c: np.asarray(slim[c][1][i]) for c in CHANNELS},
+                rle_packed16=self._pack16,
                 quality=self.config.quality,
             )
             if entropy:
@@ -351,19 +405,36 @@ class JPEGPipeline:
                     # Two C++ passes over the padded pairs (histogram, then
                     # map+pack) — the numpy mask-compact + np.unique route
                     # below costs seconds per channel on a throttled host.
+                    # The packed-u16 layout is consumed directly (the int32
+                    # pairs never materialize on the host).
                     offset = 2048  # symbols are counts ≤128 or coeffs |v|<2047
-                    counts, _ = native.rle_symbol_hist(
+                    hist = (
+                        native.rle_symbol_hist16
+                        if enc.rle_packed16
+                        else native.rle_symbol_hist
+                    )
+                    counts, _ = hist(
                         enc.rle[c], enc.rle_lengths[c], offset, 2 * offset
                     )
                     (bins,) = np.nonzero(counts)
                     codebook = build_canonical_codebook_from_counts(
                         bins.astype(np.int64) - offset, counts[bins]
                     )
-                    packed, nbits = native.huff_pack_pairs(
+                    pack = (
+                        native.huff_pack_pairs16
+                        if enc.rle_packed16
+                        else native.huff_pack_pairs
+                    )
+                    packed, nbits = pack(
                         enc.rle[c], enc.rle_lengths[c], codebook
                     )
                 else:
-                    symbols = _valid_symbols(enc.rle[c], enc.rle_lengths[c])
+                    pairs = (
+                        _unpack16_host(enc.rle[c])
+                        if enc.rle_packed16
+                        else enc.rle[c]
+                    )
+                    symbols = _valid_symbols(pairs, enc.rle_lengths[c])
                     codebook = build_canonical_codebook(symbols)
                     packed, nbits = pack_symbols(symbols, codebook)
                 enc.shared_streams[c] = (codebook, packed, nbits)
@@ -390,20 +461,31 @@ class JPEGPipeline:
                 codebook, packed, nbits = enc.shared_streams[c]
                 pad_width = enc.rle[c].shape[1]
                 block_size = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
-                got = (
-                    native.huff_unpack_pairs(
+                got = None
+                if native is not None and enc.rle_packed16:
+                    got = native.huff_unpack_pairs16(
                         packed, nbits, codebook,
                         block_size, enc.num_blocks, pad_width,
                     )
-                    if native is not None
-                    else None
-                )
+                elif native is not None:
+                    got = native.huff_unpack_pairs(
+                        packed, nbits, codebook,
+                        block_size, enc.num_blocks, pad_width,
+                    )
                 if got is None:
                     # Pure-Python spec path; also the quirk-compatible
                     # handler for streams the strict native walker rejects.
                     symbols = unpack_symbols(packed, nbits, codebook)
-                    got = _split_symbols(
-                        symbols, enc.num_blocks, pad_width, block_size
+                    sym_pad = (
+                        2 * pad_width if enc.rle_packed16 else pad_width
+                    )
+                    pairs, lens = _split_symbols(
+                        symbols, enc.num_blocks, sym_pad, block_size
+                    )
+                    got = (
+                        (_pack16_host(pairs), lens)
+                        if enc.rle_packed16
+                        else (pairs, lens)
                     )
                 rle[c], lengths[c] = got
             return rle, lengths
@@ -426,17 +508,19 @@ class JPEGPipeline:
             bpr=enc.blocks_per_row,
             height=enc.height,
             width=enc.width,
+            packed16=enc.rle_packed16,
         )
         return np.asarray(jax.device_get(rgb))
 
-    def _mcu_inverse_impl(self, rle, rle_lengths):
+    def _mcu_inverse_impl(self, rle, rle_lengths, packed16: bool = False):
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
+        rle_decode = rle_decode_packed16 if packed16 else rle_decode_batched
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
-            zz = rle_decode_batched(rle[name], rle_lengths[name], h * w)
+            zz = rle_decode(rle[name], rle_lengths[name], h * w)
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return rec
 
@@ -459,7 +543,7 @@ class JPEGPipeline:
         len_j = {
             c: jnp.pad(jnp.asarray(lengths[c]), (0, pad)) for c in CHANNELS
         }
-        rec = self._mcu_inverse(rle_j, len_j)
+        rec = self._mcu_inverse(rle_j, len_j, packed16=enc.rle_packed16)
         rgb = ycbcr_to_rgb_mcus(
             rec["lum"][:n], rec["r"][:n], rec["b"][:n],
             enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
@@ -476,6 +560,25 @@ class JPEGPipeline:
         """All jitted forward intermediates (for stage-by-stage parity
         tests against the oracle)."""
         return jax.device_get(self._forward(jnp.asarray(rgb)))
+
+
+def _unpack16_host(packed: np.ndarray) -> np.ndarray:
+    """(N, L) packed uint16 → (N, 2L) interleaved int32 pairs (numpy,
+    fallback paths only — the native passes consume packed directly)."""
+    p = packed.astype(np.int32)
+    out = np.empty((p.shape[0], 2 * p.shape[1]), np.int32)
+    out[:, 0::2] = (p >> 10) + 1
+    out[:, 1::2] = (p & 0x3FF) - 512
+    return out
+
+
+def _pack16_host(pairs: np.ndarray) -> np.ndarray:
+    """(N, 2L) interleaved int32 pairs → (N, L) packed uint16 (padding
+    slots stay 0, mirroring ``ops.rle.pack16_pairs``)."""
+    counts = pairs[:, 0::2].astype(np.int32)
+    vals = pairs[:, 1::2].astype(np.int32)
+    packed = (np.maximum(counts - 1, 0) << 10) | (vals + 512)
+    return np.where(counts > 0, packed, 0).astype(np.uint16)
 
 
 def _valid_symbols(pairs: np.ndarray, lengths: np.ndarray) -> np.ndarray:

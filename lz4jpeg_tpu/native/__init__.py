@@ -95,6 +95,13 @@ class NativeBackend:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        # packed-u16 RLE pair layout variants (ops/rle.py pack16)
+        lib.rle_symbol_hist16.restype = ctypes.c_int64
+        lib.rle_symbol_hist16.argtypes = lib.rle_symbol_hist.argtypes
+        lib.huff_pack_pairs16.restype = ctypes.c_int64
+        lib.huff_pack_pairs16.argtypes = lib.huff_pack_pairs.argtypes
+        lib.huff_unpack_pairs16.restype = ctypes.c_int64
+        lib.huff_unpack_pairs16.argtypes = lib.huff_unpack_pairs.argtypes
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -294,6 +301,78 @@ class NativeBackend:
         if n < 0:
             raise RuntimeError(f"native pair pack failed ({n})")
         return out.raw[:n], int(nbits.value)
+
+    def rle_symbol_hist16(self, packed, lengths, offset: int, nbins: int):
+        """``rle_symbol_hist`` over the packed-u16 pair layout (one uint16
+        per [count, value] pair; lengths still count symbols)."""
+        import numpy as np
+
+        packed = np.ascontiguousarray(packed, np.uint16)
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        counts = np.zeros(nbins, np.int64)
+        total = self._lib.rle_symbol_hist16(
+            packed.ctypes.data, lengths.ctypes.data,
+            packed.shape[0], packed.shape[1], offset,
+            counts.ctypes.data, nbins,
+        )
+        if total < 0:
+            raise RuntimeError(f"native symbol hist16 failed ({total})")
+        return counts, int(total)
+
+    def huff_pack_pairs16(self, packed_pairs, lengths, codebook) -> tuple:
+        """``huff_pack_pairs`` over the packed-u16 pair layout."""
+        import numpy as np
+
+        packed_pairs = np.ascontiguousarray(packed_pairs, np.uint16)
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        base = int(codebook.symbols.min())
+        size = int(codebook.symbols.max()) - base + 1
+        lut_codes = np.zeros(size, np.uint32)
+        lut_lens = np.zeros(size, np.uint8)
+        lut_codes[codebook.symbols - base] = codebook.codes
+        lut_lens[codebook.symbols - base] = codebook.lengths
+        total = int(lengths.astype(np.int64).sum())
+        cap = total * 4 + 16
+        out = ctypes.create_string_buffer(cap)
+        nbits = ctypes.c_uint64(0)
+        n = self._lib.huff_pack_pairs16(
+            packed_pairs.ctypes.data, lengths.ctypes.data,
+            packed_pairs.shape[0], packed_pairs.shape[1], base,
+            lut_codes.ctypes.data, lut_lens.ctypes.data, size,
+            out, cap, ctypes.byref(nbits),
+        )
+        if n < 0:
+            raise RuntimeError(f"native pair pack16 failed ({n})")
+        return out.raw[:n], int(nbits.value)
+
+    def huff_unpack_pairs16(
+        self, packed: bytes, nbits: int, codebook,
+        block_size: int, num_blocks: int, pad_pairs: int,
+    ):
+        """Decode + re-block into the packed-u16 pair layout.
+
+        ``pad_pairs`` is the padded PAIR count per block (half the symbol
+        pad width).  Returns (packed (N, pad_pairs) uint16, lengths) or
+        None if the stream needs the int32 / quirk-compatible path."""
+        import numpy as np
+
+        if (nbits + 7) // 8 > len(packed):
+            raise ValueError(
+                f"bit count {nbits} exceeds packed buffer of {len(packed)} bytes"
+            )
+        lengths = np.ascontiguousarray(codebook.lengths, np.uint8)
+        symbols = np.ascontiguousarray(codebook.symbols, np.int32)
+        out_pairs = np.zeros((num_blocks, pad_pairs), np.uint16)
+        out_lengths = np.zeros(num_blocks, np.int32)
+        n = self._lib.huff_unpack_pairs16(
+            packed, nbits,
+            lengths.tobytes(), symbols.ctypes.data, len(symbols),
+            block_size, num_blocks, pad_pairs,
+            out_pairs.ctypes.data, out_lengths.ctypes.data,
+        )
+        if n < 0:
+            return None
+        return out_pairs, out_lengths
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
         out = ctypes.create_string_buffer(2 * len(data) + 65536)

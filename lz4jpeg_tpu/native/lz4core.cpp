@@ -812,3 +812,157 @@ int64_t huff_unpack_pairs(const uint8_t* packed, uint64_t nbits,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---- packed-u16 RLE pair layout --------------------------------------
+// One uint16 per [count, value] pair: (count-1) << 10 | (value + 512).
+// The device packs this way to halve tunnel bytes (ops/rle.py
+// rle_encode_packed16); these are the C++ entropy passes that consume it
+// directly, so the int32 pair layout is never materialized on the host.
+
+static inline void unpack16(uint16_t v, int32_t* count, int32_t* value) {
+  *count = (v >> 10) + 1;
+  *value = static_cast<int32_t>(v & 0x3FF) - 512;
+}
+
+int64_t rle_symbol_hist16(const uint16_t* packed, const int32_t* lengths,
+                          size_t n_rows, size_t row_len, int64_t offset,
+                          int64_t* counts, size_t nbins) {
+  int64_t total = 0;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const uint16_t* row = packed + r * row_len;
+    int32_t n = lengths[r];  // symbols = 2 * pairs
+    if (n < 0 || n % 2 || static_cast<size_t>(n / 2) > row_len)
+      return kErrBadInput;
+    for (int32_t i = 0; i < n / 2; ++i) {
+      int32_t c, v;
+      unpack16(row[i], &c, &v);
+      int64_t cb = static_cast<int64_t>(c) + offset;
+      int64_t vb = static_cast<int64_t>(v) + offset;
+      if (cb < 0 || cb >= static_cast<int64_t>(nbins) || vb < 0 ||
+          vb >= static_cast<int64_t>(nbins))
+        return kErrBadInput;
+      ++counts[cb];
+      ++counts[vb];
+    }
+    total += n;
+  }
+  return total;
+}
+
+int64_t huff_pack_pairs16(const uint16_t* packed, const int32_t* lengths,
+                          size_t n_rows, size_t row_len, int64_t lut_base,
+                          const uint32_t* lut_codes, const uint8_t* lut_lens,
+                          size_t lut_size, uint8_t* out, size_t out_cap,
+                          uint64_t* nbits_out) {
+  uint64_t acc = 0;
+  int acc_bits = 0;
+  size_t w = 0;
+  uint64_t nbits = 0;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const uint16_t* row = packed + r * row_len;
+    int32_t n = lengths[r];
+    if (n < 0 || n % 2 || static_cast<size_t>(n / 2) > row_len)
+      return kErrBadInput;
+    for (int32_t i = 0; i < n / 2; ++i) {
+      int32_t cv[2];
+      unpack16(row[i], &cv[0], &cv[1]);
+      for (int s = 0; s < 2; ++s) {
+        int64_t v = static_cast<int64_t>(cv[s]) - lut_base;
+        if (v < 0 || v >= static_cast<int64_t>(lut_size)) return kErrBadInput;
+        int len = lut_lens[v];
+        if (len < 1 || len > 32) return kErrBadInput;
+        acc = (acc << len) | lut_codes[v];
+        acc_bits += len;
+        nbits += len;
+        while (acc_bits >= 8) {
+          if (w >= out_cap) return kErrOutputFull;
+          out[w++] = static_cast<uint8_t>(acc >> (acc_bits - 8));
+          acc_bits -= 8;
+        }
+      }
+    }
+  }
+  if (acc_bits > 0) {
+    if (w >= out_cap) return kErrOutputFull;
+    out[w++] = static_cast<uint8_t>((acc << (8 - acc_bits)) & 0xFF);
+  }
+  *nbits_out = nbits;
+  return static_cast<int64_t>(w);
+}
+
+// Decode + re-block straight into the packed-u16 layout (pad_width is in
+// PAIR slots here, not symbol slots).  Streams whose pairs cannot be
+// represented (count > 64, |value| > 511) return kErrBadInput and the
+// caller falls back to the int32 path.
+int64_t huff_unpack_pairs16(const uint8_t* packed, uint64_t nbits,
+                            const uint8_t* lengths, const int32_t* symbols,
+                            size_t num_symbols, int64_t block_size,
+                            int64_t num_blocks, int64_t pad_width,
+                            uint16_t* out_pairs, int32_t* out_lengths) {
+  if (num_symbols == 0) return nbits == 0 ? 0 : kErrBadInput;
+  uint32_t first_code[33] = {0};
+  int32_t first_index[33];
+  uint32_t count_len[33] = {0};
+  for (int l = 0; l <= 32; ++l) first_index[l] = -1;
+  for (size_t s = 0; s < num_symbols; ++s) {
+    int l = lengths[s];
+    if (l < 1 || l > 32) return kErrBadInput;
+    if (first_index[l] < 0) first_index[l] = static_cast<int32_t>(s);
+    ++count_len[l];
+  }
+  uint32_t code = 0;
+  int prev = 0;
+  for (int l = 1; l <= 32; ++l) {
+    if (!count_len[l]) continue;
+    code <<= (l - prev);
+    prev = l;
+    first_code[l] = code;
+    code += count_len[l];
+  }
+  int64_t cum = 0, cur_block = -1, cur_slot = 0, n_sym = 0;
+  int32_t pending_count = 0;
+  bool have_count = false;
+  uint32_t acc = 0;
+  int acc_len = 0;
+  for (uint64_t i = 0; i < nbits; ++i) {
+    acc = (acc << 1) | ((packed[i >> 3] >> (7 - (i & 7))) & 1);
+    ++acc_len;
+    if (acc_len > 32) return kErrBadInput;
+    if (count_len[acc_len] &&
+        acc - first_code[acc_len] < count_len[acc_len]) {
+      int32_t sym =
+          symbols[first_index[acc_len] + (acc - first_code[acc_len])];
+      acc = 0;
+      acc_len = 0;
+      ++n_sym;
+      if (!have_count) {
+        if (sym <= 0 || sym > 64) return kErrBadInput;
+        pending_count = sym;
+        have_count = true;
+        continue;
+      }
+      have_count = false;
+      if (sym < -512 || sym > 511) return kErrBadInput;
+      cum += pending_count;
+      int64_t blk = (cum - 1) / block_size;
+      if (blk < 0 || blk >= num_blocks) return kErrBadInput;
+      if (blk != cur_block) {
+        if (blk < cur_block) return kErrBadInput;
+        cur_block = blk;
+        cur_slot = 0;
+      }
+      if (cur_slot >= pad_width) return kErrBadInput;
+      out_pairs[blk * pad_width + cur_slot] =
+          static_cast<uint16_t>(((pending_count - 1) << 10) |
+                                (sym + 512));
+      out_lengths[blk] += 2;
+      ++cur_slot;
+    }
+  }
+  if (acc_len != 0 || have_count) return kErrBadInput;
+  return n_sym;
+}
+
+}  // extern "C"

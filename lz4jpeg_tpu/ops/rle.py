@@ -83,6 +83,74 @@ def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pairs, 2 * num_runs
 
 
+PACK16_VALUE_BIAS = 512  # value+512 in the low 10 bits, count-1 in the top 6
+
+
+def rle_encode_packed16(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``rle_encode_batched`` with each [count, value] pair packed into ONE
+    uint16: ``(count-1) << 10 | (value + 512)``.
+
+    Halves the device→host bytes of the dominant transfer in the JPEG
+    encode path (the tunnel moves ~17-33 M elements/s regardless of width,
+    profiles/profile_roundtrip_e2e.py).  Valid iff counts ≤ 64 (always —
+    blocks are ≤64 symbols) and |value| ≤ 511, i.e. quantization tables
+    with min entry ≥ 3 (the reference tables have min 6 / 17; extreme
+    ``quality`` settings fall back to the int16 pair layout).
+
+    Returns ``(packed (N, L) uint16, lengths (N,))`` where ``lengths``
+    counts *symbols* (2·runs), matching ``rle_encode_batched``.
+    """
+    pairs, lengths = rle_encode_batched(values)
+    return pack16_pairs(pairs), lengths
+
+
+def pack16_pairs(pairs: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2L) interleaved [count, value] pairs → (N, L) packed uint16.
+
+    Padding slots (count 0) stay 0, so packed streams compare equal across
+    the device packer, the host packer and the native decode re-blocker."""
+    counts = pairs.astype(jnp.int32)[:, 0::2]
+    vals = pairs.astype(jnp.int32)[:, 1::2]
+    packed = (
+        jnp.maximum(counts - 1, 0) << 10
+    ) | (vals + PACK16_VALUE_BIAS)
+    return jnp.where(counts > 0, packed, 0).astype(jnp.uint16)
+
+
+def unpack16_pairs(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, L) uint16 → (counts (N, L) int32, values (N, L) int32).
+
+    Invalid (padding) slots decode to count=1 / value=0; callers mask by
+    the lengths side channel exactly as with the int pair layout.
+    """
+    p = packed.astype(jnp.int32)
+    return (p >> 10) + 1, (p & 0x3FF) - PACK16_VALUE_BIAS
+
+
+def rle_decode_packed16(
+    packed: jnp.ndarray, lengths: jnp.ndarray, out_size: int
+) -> jnp.ndarray:
+    """``rle_decode_batched`` over the packed uint16 layout."""
+    counts, vals = unpack16_pairs(packed)
+    n, k = counts.shape
+    pair_valid = jnp.arange(k, dtype=jnp.int32)[None, :] < (
+        lengths.astype(jnp.int32) // 2
+    )[:, None]
+    counts = jnp.where(pair_valid, counts, 0)
+    ends = jnp.cumsum(counts, axis=1, dtype=jnp.int32)
+    begins = ends - counts
+    pos = jnp.arange(out_size, dtype=jnp.int32)
+    member = (
+        (begins[:, None, :] <= pos[None, :, None])
+        & (pos[None, :, None] < ends[:, None, :])
+    ).astype(jnp.float32)
+    out = jnp.einsum(
+        "npk,nk->np", member, vals.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(jnp.int32)
+
+
 def rle_decode_batched(
     pairs: jnp.ndarray, lengths: jnp.ndarray, out_size: int
 ) -> jnp.ndarray:

@@ -80,18 +80,28 @@ class ShardedJPEGForward:
         — and then loses the results to its by-value bug; here the shard is
         the unit and the merge is the output sharding."""
         from lz4jpeg_tpu.ops.color import ycbcr_to_rgb_mcus
-        from lz4jpeg_tpu.ops.rle import rle_decode_batched
+        from lz4jpeg_tpu.ops.rle import (
+            rle_decode_batched,
+            rle_decode_packed16,
+        )
 
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
         n_dev = self.mesh.devices.size
         n_mcus = bpc * bpr
+        # The dtype fully determines the pair layout (uint16 = packed,
+        # models/jpeg.py pack16).
+        rle_decode = (
+            rle_decode_packed16
+            if np.asarray(rle["lum"]).dtype == np.uint16
+            else rle_decode_batched
+        )
 
         def stage(rle_j, len_j):
             rec = {}
             for name in ("lum", "r", "b"):
                 h, w = _CHANNEL_SHAPES[name]
-                zz = rle_decode_batched(rle_j[name], len_j[name], h * w)
+                zz = rle_decode(rle_j[name], len_j[name], h * w)
                 rec[name] = inverse_channel(
                     zz, name, self._tables, dtype, fused
                 )
@@ -197,17 +207,26 @@ def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
         import jax.numpy as jnp
 
         slim = jax.device_get(pipeline._forward_rle(jnp.asarray(band)))
+        packed16 = pipeline._pack16
         for ci, c in enumerate(CHANNELS):
-            pairs = np.asarray(slim[c][0], np.int32)
+            pairs = np.asarray(
+                slim[c][0], np.uint16 if packed16 else np.int32
+            )
             lengths = np.asarray(slim[c][1], np.int32)
             local[c] = (pairs, lengths)
             if native is not None:
-                counts, _ = native.rle_symbol_hist(
-                    pairs, lengths, OFFSET, NBINS
+                hist_fn = (
+                    native.rle_symbol_hist16
+                    if packed16
+                    else native.rle_symbol_hist
                 )
+                counts, _ = hist_fn(pairs, lengths, OFFSET, NBINS)
             else:
+                from lz4jpeg_tpu.models.jpeg import _unpack16_host
+
+                ints = _unpack16_host(pairs) if packed16 else pairs
                 vals, cnt = np.unique(
-                    _valid_symbols(pairs, lengths), return_counts=True
+                    _valid_symbols(ints, lengths), return_counts=True
                 )
                 counts = np.zeros(NBINS, np.int64)
                 counts[vals + OFFSET] = cnt
@@ -226,10 +245,20 @@ def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
         if c in local:
             pairs, lengths = local[c]
             if native is not None:
-                packed, nbits = native.huff_pack_pairs(pairs, lengths, codebook)
+                pack_fn = (
+                    native.huff_pack_pairs16
+                    if pipeline._pack16
+                    else native.huff_pack_pairs
+                )
+                packed, nbits = pack_fn(pairs, lengths, codebook)
             else:
+                from lz4jpeg_tpu.models.jpeg import _unpack16_host
+
+                ints = (
+                    _unpack16_host(pairs) if pipeline._pack16 else pairs
+                )
                 packed, nbits = pack_symbols(
-                    _valid_symbols(pairs, lengths), codebook
+                    _valid_symbols(ints, lengths), codebook
                 )
         else:
             packed, nbits = b"", 0

@@ -71,6 +71,117 @@ class TestRoundTrip:
         np.testing.assert_array_equal(exact_pipeline.roundtrip(img), ref_rec)
 
 
+class TestPack16:
+    """Packed-u16 RLE transfer layout (ops/rle.py pack16): one uint16 per
+    [count, value] pair, halving the dominant tunnel transfers.  Active for
+    fast+shared pipelines whose quant tables bound |value| ≤ 511."""
+
+    def test_fast_pipeline_uses_packed_layout(self, rng):
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        assert pipe._pack16
+        enc = pipe.encode(noise(rng, 16, 16))
+        for c in ("lum", "r", "b"):
+            assert enc.rle[c].dtype == np.uint16
+        assert enc.rle_packed16
+
+    def test_packed_matches_int_pipeline_end_to_end(self, rng):
+        img = noise(rng, 24, 40)
+        fast = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        plain = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        plain._pack16 = False
+        enc_p = fast.encode(img)
+        enc_i = plain.encode(img)
+        # identical entropy bitstreams from either layout
+        for c in ("lum", "r", "b"):
+            assert enc_p.shared_streams[c][1] == enc_i.shared_streams[c][1]
+            assert enc_p.shared_streams[c][2] == enc_i.shared_streams[c][2]
+        # identical reconstructions, both from entropy and direct
+        np.testing.assert_array_equal(fast.decode(enc_p), plain.decode(enc_i))
+        np.testing.assert_array_equal(
+            fast.decode(enc_p, from_entropy=False),
+            plain.decode(enc_i, from_entropy=False),
+        )
+
+    def test_pack_roundtrip_ops(self, rng):
+        from lz4jpeg_tpu.ops.rle import (
+            rle_decode_batched,
+            rle_decode_packed16,
+            rle_encode_batched,
+            rle_encode_packed16,
+        )
+
+        vals = rng.integers(-511, 512, size=(32, 64)).astype(np.int16)
+        vals[:, 40:] = 0  # give it some runs
+        pairs, lengths = map(np.asarray, rle_encode_batched(vals))
+        packed, lengths16 = map(np.asarray, rle_encode_packed16(vals))
+        np.testing.assert_array_equal(lengths, lengths16)
+        np.testing.assert_array_equal(
+            np.asarray(rle_decode_packed16(packed, lengths16, 64)),
+            np.asarray(rle_decode_batched(pairs, lengths, 64)),
+        )
+
+    def test_extreme_quality_falls_back_to_int_pairs(self):
+        pipe = JPEGPipeline(
+            JPEGConfig(precision="fast", entropy="shared", quality=99)
+        )
+        assert not pipe._pack16
+
+    def test_entropy_decode_restores_packed_layout(self, rng):
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        enc = pipe.encode(noise(rng, 16, 16))
+        rle, lengths = pipe.entropy_decode(enc)
+        for c in ("lum", "r", "b"):
+            assert rle[c].dtype == np.uint16
+            np.testing.assert_array_equal(lengths[c], enc.rle_lengths[c])
+            np.testing.assert_array_equal(rle[c], enc.rle[c])
+
+    def test_native_packed_passes_match_int_passes(self, rng):
+        from lz4jpeg_tpu.models.jpeg import _pack16_host
+        from lz4jpeg_tpu.native import native_available, native_backend
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook_from_counts,
+        )
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        native = native_backend()
+        pairs = np.zeros((8, 32), np.int32)
+        lengths = np.zeros(8, np.int32)
+        for i in range(8):
+            n = int(rng.integers(1, 16))
+            counts = rng.integers(1, 5, size=n)
+            total = 32  # block_size for re-blocking tests
+            counts[-1] = max(1, total - int(counts[:-1].sum()))
+            if counts.sum() != total or counts[-1] > 64:
+                counts = np.array([total])
+                n = 1
+            vals = rng.integers(-500, 500, size=n)
+            pairs[i, 0 : 2 * n : 2] = counts[:n]
+            pairs[i, 1 : 2 * n : 2] = vals
+            lengths[i] = 2 * n
+        packed16 = _pack16_host(pairs)
+        off = 2048
+        h_int, t_int = native.rle_symbol_hist(pairs, lengths, off, 2 * off)
+        h_p16, t_p16 = native.rle_symbol_hist16(
+            packed16, lengths, off, 2 * off
+        )
+        assert t_int == t_p16
+        np.testing.assert_array_equal(h_int, h_p16)
+        (bins,) = np.nonzero(h_int)
+        cb = build_canonical_codebook_from_counts(
+            bins.astype(np.int64) - off, h_int[bins]
+        )
+        s_int = native.huff_pack_pairs(pairs, lengths, cb)
+        s_p16 = native.huff_pack_pairs16(packed16, lengths, cb)
+        assert s_int == s_p16
+        got = native.huff_unpack_pairs16(
+            s_p16[0], s_p16[1], cb, 32, 8, 16
+        )
+        assert got is not None
+        np.testing.assert_array_equal(got[0], packed16)
+        np.testing.assert_array_equal(got[1], lengths)
+
+
 class TestEntropy:
     def test_shared_mode_roundtrips_rle(self, rng, exact_pipeline):
         img = noise(rng, 16, 16)
