@@ -93,24 +93,55 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
                 raise JPEGContainerError(f"truncated stream for {c!r}")
             p += packed_len
             shared[c] = (codebook, packed, nbits)
-            h, w = _CHANNEL_SHAPES[c]
-            got = None
-            if native_available():
-                # Fused decode+re-block C++ pass; returns None on streams
-                # that need the quirk-compatible Python path below.
-                got = native_backend().huff_unpack_pairs(
-                    packed, nbits, codebook, h * w, num_blocks, 2 * h * w
-                )
-            if got is None:
-                symbols = unpack_symbols(packed, nbits, codebook)
-                got = _split_symbols(symbols, num_blocks, 2 * h * w, h * w)
-            rle[c], lengths[c] = got
         except JPEGContainerError:
             raise
-        except (struct.error, ValueError, IndexError, RuntimeError) as e:
+        except (struct.error, ValueError, IndexError) as e:
             raise JPEGContainerError(f"corrupt channel {c!r}: {e}") from e
     if p != len(data):
         raise JPEGContainerError("trailing bytes after container")
+
+    # Decode the streams back to RLE.  Prefer the packed-u16 pair layout
+    # (half the h2d bytes when the pipeline re-uploads for the device
+    # inverse); a stream whose pairs don't fit 10-bit values drops every
+    # channel back to the int32 layout so the JPEGEncoded stays uniform.
+    native = native_backend() if native_available() else None
+    packed16 = native is not None
+    if packed16:
+        for c in ("lum", "r", "b"):
+            codebook, packed, nbits = shared[c]
+            h, w = _CHANNEL_SHAPES[c]
+            try:
+                got = native.huff_unpack_pairs16(
+                    packed, nbits, codebook, h * w, num_blocks, h * w
+                )
+            except ValueError as e:
+                raise JPEGContainerError(f"corrupt channel {c!r}: {e}") from e
+            if got is None:
+                packed16 = False
+                rle.clear()
+                lengths.clear()
+                break
+            rle[c], lengths[c] = got
+    if not packed16:
+        for c in ("lum", "r", "b"):
+            codebook, packed, nbits = shared[c]
+            h, w = _CHANNEL_SHAPES[c]
+            try:
+                got = (
+                    native.huff_unpack_pairs(
+                        packed, nbits, codebook, h * w, num_blocks, 2 * h * w
+                    )
+                    if native is not None
+                    else None
+                )
+                if got is None:
+                    symbols = unpack_symbols(packed, nbits, codebook)
+                    got = _split_symbols(
+                        symbols, num_blocks, 2 * h * w, h * w
+                    )
+            except (ValueError, IndexError, RuntimeError) as e:
+                raise JPEGContainerError(f"corrupt channel {c!r}: {e}") from e
+            rle[c], lengths[c] = got
     return JPEGEncoded(
         quality=quality or None,
         height=height,
@@ -120,6 +151,7 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
         rle={c: np.asarray(v) for c, v in rle.items()},
         rle_lengths={c: np.asarray(v) for c, v in lengths.items()},
         entropy_mode="shared",
+        rle_packed16=packed16,
         shared_streams=shared,
     )
 

@@ -56,12 +56,10 @@ from lz4jpeg_tpu.ops.quantize import (
     scale_table,
 )
 from lz4jpeg_tpu.ops.rle import (
-    pack16_pairs,
     rle_decode_batched,
     rle_decode_packed16,
     rle_encode_batched,
     rle_encode_packed16,
-    unpack16_pairs,
 )
 from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
 from lz4jpeg_tpu.oracle import jpeg_oracle
@@ -286,8 +284,16 @@ class JPEGPipeline:
         both well inside int16."""
         out = self._forward_impl(rgb)
         if self._pack16:
+            # Straight from the zz stream via the run arrays — the shared
+            # sort dedupes with _forward_impl's RLE under CSE, and the
+            # unused interleaved pairs are dead-code-eliminated.  (Packing
+            # from v["rle"] instead costs ~1.1 ms/frame in strided
+            # even/odd slices, see ops/rle.py.)
             return {
-                c: (pack16_pairs(v["rle"]), v["rle_lengths"].astype(jnp.int32))
+                c: (
+                    rle_encode_packed16(v["zz"].astype(jnp.int16))[0],
+                    v["rle_lengths"].astype(jnp.int32),
+                )
                 for c, v in out.items()
             }
         return {

@@ -47,6 +47,15 @@ def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     no (L, L) one-hot, no gathers/scatters (all measured slower; see
     module docstring).
     """
+    counts, run_values, num_runs = _rle_runs(values)
+    n, length = counts.shape
+    pairs = jnp.stack([counts, run_values], axis=2).reshape(n, 2 * length)
+    return pairs, 2 * num_runs
+
+
+def _rle_runs(values: jnp.ndarray):
+    """Shared core: (N, L) blocks → (counts, run_values, num_runs), each
+    (N, L) / (N,), valid runs front-compacted, invalid slots zero."""
     x = values.astype(jnp.int32)
     n, length = x.shape
     idx = jnp.arange(length, dtype=jnp.int32)
@@ -79,8 +88,7 @@ def rle_encode_batched(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     counts = jnp.where(valid_run, nxt - key_sorted, 0)
     run_values = jnp.where(valid_run, val_sorted, 0)
     num_runs = jnp.sum(starts, axis=1, dtype=jnp.int32)
-    pairs = jnp.stack([counts, run_values], axis=2).reshape(n, 2 * length)
-    return pairs, 2 * num_runs
+    return counts, run_values, num_runs
 
 
 PACK16_VALUE_BIAS = 512  # value+512 in the low 10 bits, count-1 in the top 6
@@ -99,9 +107,18 @@ def rle_encode_packed16(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Returns ``(packed (N, L) uint16, lengths (N,))`` where ``lengths``
     counts *symbols* (2·runs), matching ``rle_encode_batched``.
+
+    Built straight from the run arrays — NOT by interleaving pairs and
+    splitting them again: the strided even/odd minor-dim slices in that
+    round trip cost ~1.1 ms/frame at 2048² on TPU (measured; the fix
+    recovered the full headline).
     """
-    pairs, lengths = rle_encode_batched(values)
-    return pack16_pairs(pairs), lengths
+    counts, run_values, num_runs = _rle_runs(values)
+    packed = (
+        jnp.maximum(counts - 1, 0) << 10
+    ) | (run_values + PACK16_VALUE_BIAS)
+    packed = jnp.where(counts > 0, packed, 0).astype(jnp.uint16)
+    return packed, 2 * num_runs
 
 
 def pack16_pairs(pairs: jnp.ndarray) -> jnp.ndarray:

@@ -106,7 +106,21 @@ class TestJPEGContainer:
         dec = unpack_container(blob)
         assert (dec.height, dec.width) == (16, 16)
         for c in ("lum", "r", "b"):
-            np.testing.assert_array_equal(dec.rle[c], enc.rle[c])
+            # The container may restore the packed-u16 transfer layout;
+            # compare in the canonical int32 pair layout.
+            from lz4jpeg_tpu.models.jpeg import _unpack16_host
+
+            def canon(pairs, packed16, lens):
+                ints = _unpack16_host(pairs) if packed16 else pairs
+                # Zero padding slots: the layouts pad differently
+                # (unpack16 yields count=1/value=-512 pads).
+                mask = np.arange(ints.shape[1])[None, :] < lens[:, None]
+                return np.where(mask, ints, 0)
+
+            np.testing.assert_array_equal(
+                canon(dec.rle[c], dec.rle_packed16, dec.rle_lengths[c]),
+                canon(enc.rle[c], enc.rle_packed16, enc.rle_lengths[c]),
+            )
             np.testing.assert_array_equal(dec.rle_lengths[c], enc.rle_lengths[c])
         np.testing.assert_array_equal(
             pipeline.decode(dec), pipeline.decode(enc)
