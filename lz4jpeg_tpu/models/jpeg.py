@@ -186,6 +186,15 @@ class JPEGPipeline:
             self._inverse_impl,
             static_argnames=("bpc", "bpr", "height", "width", "packed16"),
         )
+        self._batch_inverse = jax.jit(
+            lambda rle, lens, bpc, bpr, h, w, packed16: jax.vmap(
+                lambda r, l: self._inverse_impl(
+                    r, l, bpc=bpc, bpr=bpr, height=h, width=w,
+                    packed16=packed16,
+                )
+            )(rle, lens),
+            static_argnums=(2, 3, 4, 5, 6),
+        )
 
     # ------------------------------------------------------------------
     # Jitted transform stages
@@ -517,6 +526,42 @@ class JPEGPipeline:
             packed16=enc.rle_packed16,
         )
         return np.asarray(jax.device_get(rgb))
+
+    def decode_batch(
+        self, encs: List["JPEGEncoded"], from_entropy: bool = True
+    ) -> List[np.ndarray]:
+        """Decode same-size encodes in one vmapped dispatch (the inverse
+        of ``encode_batch`` — one device round trip for the whole batch)."""
+        if not encs:
+            return []
+        e0 = encs[0]
+        key = (e0.height, e0.width, e0.rle_packed16)
+        for e in encs[1:]:
+            if (e.height, e.width, e.rle_packed16) != key:
+                raise ValueError(
+                    "decode_batch requires same-size encodes with one RLE "
+                    "layout; decode() them individually instead"
+                )
+        streams = []
+        for e in encs:
+            if from_entropy and e.entropy_mode is not None:
+                streams.append(self.entropy_decode(e))
+            else:
+                streams.append((e.rle, e.rle_lengths))
+        rle_b = {
+            c: jnp.asarray(np.stack([s[0][c] for s in streams]))
+            for c in CHANNELS
+        }
+        len_b = {
+            c: jnp.asarray(np.stack([s[1][c] for s in streams]))
+            for c in CHANNELS
+        }
+        rgb = self._batch_inverse(
+            rle_b, len_b, e0.blocks_per_col, e0.blocks_per_row,
+            e0.height, e0.width, e0.rle_packed16,
+        )
+        rgb = np.asarray(jax.device_get(rgb))
+        return [rgb[i] for i in range(len(encs))]
 
     def _mcu_inverse_impl(self, rle, rle_lengths, packed16: bool = False):
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""

@@ -315,6 +315,23 @@ class TestBatchAPI:
                 rec, exact_pipeline.roundtrip(img)
             )
 
+    def test_decode_batch_matches_single(self, rng):
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        imgs = np.stack([noise(rng, 16, 24) for _ in range(3)])
+        encs = pipe.encode_batch(imgs)
+        recs = pipe.decode_batch(encs)
+        assert len(recs) == 3
+        for enc, rec in zip(encs, recs):
+            np.testing.assert_array_equal(rec, pipe.decode(enc))
+
+    def test_decode_batch_rejects_mixed_sizes(self, rng):
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        a = pipe.encode(noise(rng, 16, 16))
+        b = pipe.encode(noise(rng, 16, 24))
+        with pytest.raises(ValueError):
+            pipe.decode_batch([a, b])
+        assert pipe.decode_batch([]) == []
+
     def test_warmup_compiles(self, exact_pipeline):
         exact_pipeline.warmup([(8, 8)])
         before = exact_pipeline._forward_rle._cache_size()

@@ -107,6 +107,41 @@ class TestContainerRobustness:
                 unpack_container(blob[:cut])
 
 
+class TestPacked16WalkerFallback:
+    def test_out_of_range_pairs_fall_back_to_int_path(self):
+        """A (hostile or extreme-quality) stream whose pairs don't fit the
+        packed-u16 layout (count > 64 or |value| > 511) must make the u16
+        walker decline (None) while the int32 walker still decodes it —
+        the container loader then falls back to the int layout."""
+        from lz4jpeg_tpu.native import native_available, native_backend
+        from lz4jpeg_tpu.ops.huffman import (
+            build_canonical_codebook,
+            pack_symbols,
+        )
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        native = native_backend()
+        # One 64-symbol block covered by a single run of count 64 but with
+        # a value outside 10 bits.
+        symbols = np.asarray([64, 600], np.int32)
+        cb = build_canonical_codebook(symbols)
+        packed, nbits = pack_symbols(symbols, cb)
+        assert (
+            native.huff_unpack_pairs16(packed, nbits, cb, 64, 1, 64) is None
+        )
+        got = native.huff_unpack_pairs(packed, nbits, cb, 64, 1, 128)
+        assert got is not None
+        np.testing.assert_array_equal(got[0][0, :2], [64, 600])
+        # Same for an unrepresentable count.
+        symbols = np.asarray([65, 5, 63, 7], np.int32)
+        cb = build_canonical_codebook(symbols)
+        packed, nbits = pack_symbols(symbols, cb)
+        assert (
+            native.huff_unpack_pairs16(packed, nbits, cb, 64, 2, 64) is None
+        )
+
+
 class TestOracleRobustness:
     def test_oracle_flags_ub_streams(self):
         from lz4jpeg_tpu.oracle.lz4_oracle import ParityError, lz4_decode_oracle
