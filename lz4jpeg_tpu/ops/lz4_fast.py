@@ -98,12 +98,17 @@ def _lcp_from_payloads(pay, shift: int) -> jnp.ndarray:
 
 
 def fast_match_blocks(
-    blocks: jnp.ndarray, lengths: jnp.ndarray, max_dist: int = 65535
+    blocks: jnp.ndarray,
+    lengths: jnp.ndarray,
+    max_dist: int = 65535,
+    lcp_words: int = LCP_WORDS,
 ):
     """(B, P) int32 blocks + (B,) lengths → greedy parse fields.
 
     Returns ``(is_match, emit_len, emit_dist)`` (B, P) int32, ready for
-    LZ4T sequence emission.
+    LZ4T sequence emission.  ``lcp_words`` sets the carried-suffix width
+    (the in-parse match-length cap is ``4*lcp_words``; emission extends
+    matches greedily past the cap, so it mainly shapes parse choices).
     """
     b, p = blocks.shape
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -130,7 +135,7 @@ def fast_match_blocks(
     # compare per bitonic stage instead of a two-key lexicographic one.
     pos_bits = (p - 1).bit_length()
     key = (h << pos_bits) | idx[None, :]
-    payload_words = [pack32(4 * k) for k in range(LCP_WORDS)]
+    payload_words = [pack32(4 * k) for k in range(lcp_words)]
     key_s, *pay_s = jax.lax.sort(
         (key, *payload_words), dimension=1, num_keys=1
     )
