@@ -49,9 +49,13 @@ import numpy as np
 TPU_BLOCK_LOG = 14  # 16 KiB blocks: dist fits the 64 KiB window trivially
 _HASH_MULT = 2654435761
 
-LCP_WORDS = 8  # carried suffix words → max match length 4*LCP_WORDS bytes
-# (8 words = 32 B cap: measured ratio-neutral on text vs 16/64 B — longer
-# matches split into extra ~3-byte sequences — while ~30% faster to sort.)
+LCP_WORDS = 4  # carried suffix words → in-parse match cap 4*LCP_WORDS bytes
+# Swept on-chip with greedy extension at emission (results/lz4_lcp_sweep,
+# profiles/profile_lcp_words.py): words=4 gives +24% match throughput
+# (218 vs 176 MB/s fenced at 16 MB batches) at equal-or-better ratio than
+# the host encoder on Metamorphosis (75758 vs 75777 B); words=2 is faster
+# still but costs 1.8% ratio.  Extension at emission recovers the capped
+# lengths, so the carry width mainly shapes parse choices.
 SEG = 256  # parse segment: matches never cross a segment boundary
 
 
