@@ -106,6 +106,7 @@ def fast_match_blocks(
     lengths: jnp.ndarray,
     max_dist: int = 65535,
     lcp_words: int = LCP_WORDS,
+    seg: int = SEG,
 ):
     """(B, P) int32 blocks + (B,) lengths → greedy parse fields.
 
@@ -113,6 +114,9 @@ def fast_match_blocks(
     LZ4T sequence emission.  ``lcp_words`` sets the carried-suffix width
     (the in-parse match-length cap is ``4*lcp_words``; emission extends
     matches greedily past the cap, so it mainly shapes parse choices).
+    ``seg`` (a power of two dividing P) sets the parse segment length:
+    the lockstep greedy scan runs ``seg`` steps over ``B*P/seg``
+    independent segments.
     """
     b, p = blocks.shape
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -182,17 +186,17 @@ def fast_match_blocks(
 
     # Caps: block's true end, and the parse segment boundary (so segments
     # parse independently).  Re-check the 4-byte minimum afterwards.
-    seg_left = SEG - (idx[None, :] & (SEG - 1))
+    seg_left = seg - (idx[None, :] & (seg - 1))
     limit = jnp.minimum(lengths[:, None] - idx[None, :], seg_left)
     match_len = jnp.minimum(match_len, jnp.maximum(limit, 0))
     match_len = jnp.where(match_len >= 4, match_len, 0)
     match_dist = jnp.where(match_len > 0, match_dist, 0)
 
-    # Greedy parse: SEG lockstep steps over every segment of every block
-    # at once (carry = per-segment skip pointer).
-    nseg = (b * p) // SEG
-    seg_len = match_len.reshape(nseg, SEG)
-    seg_dist = match_dist.reshape(nseg, SEG)
+    # Greedy parse: ``seg`` lockstep steps over every segment of every
+    # block at once (carry = per-segment skip pointer).
+    nseg = (b * p) // seg
+    seg_len = match_len.reshape(nseg, seg)
+    seg_dist = match_dist.reshape(nseg, seg)
 
     def stepf(skip_until, inputs):
         k, ml, d = inputs
@@ -208,7 +212,7 @@ def fast_match_blocks(
         stepf,
         jnp.zeros(nseg, jnp.int32),
         (
-            jnp.arange(SEG, dtype=jnp.int32),
+            jnp.arange(seg, dtype=jnp.int32),
             seg_len.T,
             seg_dist.T,
         ),
