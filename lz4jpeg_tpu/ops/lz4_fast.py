@@ -56,7 +56,12 @@ LCP_WORDS = 4  # carried suffix words → in-parse match cap 4*LCP_WORDS bytes
 # the host encoder on Metamorphosis (75758 vs 75777 B); words=2 is faster
 # still but costs 1.8% ratio.  Extension at emission recovers the capped
 # lengths, so the carry width mainly shapes parse choices.
-SEG = 256  # parse segment: matches never cross a segment boundary
+SEG = 512  # parse segment: matches never cross a segment boundary
+# Swept on-chip (profiles/profile_seg.py, results/formulation_ab.json):
+# match throughput is FLAT in seg (the sorts dominate, not the scan's
+# seg lockstep steps — 209/208/208 MB/s at 128/256/512), while ratio
+# improves monotonically with longer segments; 512 beats the host
+# encoder on Metamorphosis (75597 vs 75777 B) at no throughput cost.
 
 
 def pad_blocks_fast(data: bytes, block_log: int = TPU_BLOCK_LOG):

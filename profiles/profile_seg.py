@@ -65,7 +65,7 @@ def encode_with(data, seg, fn_cache={}):
     return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
 
 
-SEGS = (64, 128, 256, 512, 1024)
+SEGS = (128, 256, 512)
 
 host = native.encode_fast(corpus)
 print(f"host C++ encoder: {len(host)} B  ({len(host)/len(corpus):.4f})")

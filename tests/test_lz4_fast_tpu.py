@@ -86,6 +86,19 @@ class TestEndToEnd:
         assert codec.decode(enc) == data
         assert len(enc) <= len(data) + 20 + 4 * 3 + 16
 
+    def test_arbitrary_binary_roundtrip(self, rng):
+        """Full-byte-range inputs (not just printable text): repetitive
+        binary with high bytes, embedded NULs, and a compressible period
+        that straddles the 16 KiB block boundary."""
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        period = bytes(range(256)) + b"\x00\xff\xfe" * 7
+        data = period * 150  # ~41 KB: 3 blocks, period not a divisor of 2^14
+        enc = codec.encode(data, engine="tpu")
+        assert codec.decode(enc) == data
+        assert len(enc) < len(data) // 2
+        if native_available():
+            assert native_backend().decode_fast(enc, len(data)) == data
+
     def test_empty_and_tiny(self):
         codec = LZ4Codec(LZ4Config(mode="fast"))
         for data in (b"", b"a", b"abc"):
@@ -167,6 +180,26 @@ class TestSortMatcherInvariants:
             ks = np.nonzero(is_match[bi])[0]
             ends = ks + emit_len[bi, ks]
             assert np.all(ends <= (ks // SEG + 1) * SEG)
+
+    @pytest.mark.parametrize("seg", [64, 128, 512])
+    def test_seg_parameter_parses_validly(self, metamorphosis, seg):
+        """Any power-of-two segment size yields a valid, decodable parse:
+        matches stay within their segment and the emitted frame round-trips
+        (the seg sweep in profiles/profile_seg.py relies on this)."""
+        from lz4jpeg_tpu.formats.fast_frame import assemble_frame
+
+        data = (metamorphosis * 2)[:32768]
+        padded, lengths = pad_blocks_fast(data)
+        is_match, emit_len, _ = map(
+            np.asarray,
+            fast_match_blocks(
+                jnp.asarray(padded), jnp.asarray(lengths), seg=seg
+            ),
+        )
+        for bi in range(is_match.shape[0]):
+            ks = np.nonzero(is_match[bi])[0]
+            ends = ks + emit_len[bi, ks]
+            assert np.all(ends <= (ks // seg + 1) * seg)
 
     def test_giant_run_roundtrip(self):
         codec = LZ4Codec(LZ4Config(mode="fast"))
