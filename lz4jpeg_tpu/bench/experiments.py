@@ -201,6 +201,70 @@ def run_lz4t_decode_device_experiment(
     return results
 
 
+def run_jpeg_inverse_device_experiment(
+    sizes: Optional[List[int]] = None,
+    runs: int = 10,
+    seed: int = 0,
+    output: Optional[str] = None,
+) -> List[BenchResult]:
+    """Batched device-side JPEG decode throughput: device-resident packed16
+    RLE pairs → RLE expansion → fused IDCT chain → YCbCr→RGB reassembly.
+
+    The decode-side twin of ``bench.py``'s forward headline: per-size
+    batches hold ~134 MPix per dispatch, 4 chained dispatches per run with
+    the checksum of each folded into the next (one honest fence per run).
+    Backs the README's device-decode number with a committed artifact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.models.jpeg import CHANNELS, JPEGPipeline
+
+    rng = np.random.default_rng(seed)
+    pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    chain = 4
+    results = []
+    for size in sizes or [512, 1024, 2048]:
+        batch = min(512, max(1, (128 << 20) // (size * size)))
+        img = generate_noise_image(size, size, rng)
+        slim = jax.block_until_ready(pipeline._forward_rle(jnp.asarray(img)))
+        rle = {c: jnp.tile(slim[c][0], (batch, 1, 1)) for c in CHANNELS}
+        lens = {c: jnp.tile(slim[c][1], (batch, 1)) for c in CHANNELS}
+        bpc = bpr = size // 8
+
+        def inverse_fenced(rle, lens, carry):
+            rgb = jax.vmap(
+                lambda r, l: pipeline._inverse_impl(
+                    r, l, bpc=bpc, bpr=bpr, height=size, width=size,
+                    packed16=True,
+                )
+            )(rle, lens)
+            return carry + jnp.sum(rgb[..., ::13, 0].astype(jnp.float32))
+
+        f = jax.jit(inverse_fenced)
+
+        def step():
+            s = jnp.float32(0)
+            for _ in range(chain):
+                s = f(rle, lens, s)
+            float(s)
+
+        r = run_timed(
+            f"jpeg_inverse_device_{size}", step, scale=size, runs=runs,
+            warmup=2, work=chain * batch * size * size / 1e6,
+            work_unit="MPix",
+        )
+        results.append(r)
+        print(
+            f"jpeg device inverse {size:>5}² b{batch}: mean "
+            f"{r.mean_s*1e3:8.1f} ms ({r.throughput:7.1f} MPix/s fenced)"
+        )
+    if output:
+        _write_reference_schema(output, results, "image_size")
+    return results
+
+
 def run_lz4_device_experiment(
     batches: Optional[List[int]] = None,
     runs: int = 6,

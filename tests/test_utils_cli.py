@@ -231,6 +231,20 @@ class TestExperiments:
         payload = json.loads(out.read_text())
         assert payload[1]["image_size"] == 16
 
+    def test_jpeg_inverse_device_sweep(self, tmp_path):
+        from lz4jpeg_tpu.bench.experiments import (
+            run_jpeg_inverse_device_experiment,
+        )
+
+        out = tmp_path / "inv.json"
+        results = run_jpeg_inverse_device_experiment(
+            sizes=[32], runs=2, output=str(out)
+        )
+        assert len(results) == 1
+        payload = json.loads(out.read_text())
+        assert payload[0]["image_size"] == 32
+        assert payload[0]["throughput"] > 0
+
 
 class TestProfiling:
     def test_fenced_executes(self):
