@@ -135,11 +135,25 @@ def run_jpeg_forward_roofline(
         "bytes": 2 * npix + 8 * npix,  # u8 tiles in, f32 coefficients out
     }
 
-    # -- stage 3: RLE compaction (3 channels, incl. int16 cast) ----------
+    # -- stage 3: RLE compaction (3 channels, production pack16 path) ----
+    # FENCE THE PAIRS, NOT JUST THE LENGTHS: lengths = 2·num_runs depend
+    # only on the boundary compares, so a lengths-only checksum lets XLA
+    # dead-code-eliminate the bitonic sort and the pack — the r1 artifact
+    # did exactly that and under-reported this stage ~3× (the fence A/B is
+    # committed in results/formulation_ab.json, profiles/profile_fence_dce
+    # .py).  Summing the packed output forces every element.
+    from lz4jpeg_tpu.ops.rle import rle_encode_packed16
+
+    rle_fn = rle_encode_packed16 if pipeline._pack16 else rle_encode_batched
+
     def rle_body(zs, c, s):
         for z in zs:
-            _, l = rle_encode_batched((z + c.astype(jnp.float32)).astype(jnp.int16))
-            s = s + jnp.sum(l.astype(jnp.float32))
+            p, l = rle_fn((z + c.astype(jnp.float32)).astype(jnp.int16))
+            s = (
+                s
+                + jnp.sum(p.astype(jnp.float32))
+                + jnp.sum(l.astype(jnp.float32))
+            )
             c = (l[0] % 3).astype(jnp.int16)
         return c, s
 
@@ -147,8 +161,10 @@ def run_jpeg_forward_roofline(
     stages["rle"] = {
         "measured_s": _chain_bench(rle_body, zz, chain),
         "flops": 0,  # compare/select network — not MXU work
-        # f32 zz in, int16 [count,value] pairs (2× elements) out.
-        "bytes": 8 * npix + 8 * npix,
+        # f32 zz in, packed u16 [count|value] out; the sort network's
+        # internal passes are excluded by the read-once/write-once
+        # convention, which is why this stage's SoL fraction is low.
+        "bytes": 8 * npix + 4 * npix,
     }
 
     # -- whole forward chain (what bench.py times) ------------------------
@@ -157,8 +173,11 @@ def run_jpeg_forward_roofline(
     def full_body(x, c, s):
         out = fwd(x + c.astype(jnp.uint8))
         lengths0 = out["lum"][1]
+        # Same full fence as bench.py: pairs + lengths.
         return (lengths0[0, 0] % 3).astype(jnp.int16), s + sum(
-            jnp.sum(v[1].astype(jnp.float32)) for v in out.values()
+            jnp.sum(v[0].astype(jnp.float32))
+            + jnp.sum(v[1].astype(jnp.float32))
+            for v in out.values()
         )
 
     print("timing full_forward ...", flush=True)
@@ -217,6 +236,12 @@ def run_jpeg_forward_roofline(
         "backend": jax.default_backend(),
         "peaks": {"hbm_gbs": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_TFLOPS},
         "mpix_per_iter": npix / 1e6,
+        "fencing_note": (
+            "every stage fence reduces the stage's FULL output (pairs, not "
+            "just lengths) — a partial fence lets XLA dead-code-eliminate "
+            "the RLE sort+pack and inflate the numbers ~2x; see "
+            "profiles/profile_fence_dce.py and formulation_ab.json"
+        ),
         "stages": stages,
         "stage_sum_s": stage_sum,
         "fusion_gap_s": stages["full_forward"]["measured_s"] - stage_sum,

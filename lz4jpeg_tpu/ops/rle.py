@@ -15,10 +15,18 @@ with a ``(N,)`` valid-length side channel — the standard variable-length-
 output-on-SIMD pattern (pad + mask + size side channel).
 
 Formulations measured on TPU at N=2M, L=64 (scatter-based segment sum,
-one-hot einsum compaction, searchsorted/gather, sort-diff): per-row
-gathers/scatters serialize (~60-200× slower), the one-hot einsum
-materializes an (N, L, L) intermediate (~3.5× slower), and the sort-diff
-below wins — TPU sorts are bitonic networks, pure VPU compare/selects.
+one-hot einsum compaction, searchsorted/gather, sort-diff, and — with
+honest full-output fencing, results/formulation_ab.json
+``fence_dce_and_rle_round2b`` — rank-compare einsum/reduce, a
+collision-free log-shift compaction network, uint16 sort operands, and
+optimization barriers): per-row gathers/scatters serialize (~60-200×
+slower), the rank-onehot einsum is a batched matvec the MXU hates
+(4.7× slower), the 6-stage log-shift network is bit-identical but
+materializes between stages (1.5× slower), 16-bit sort operands don't
+speed TPU sorts, and the sort-diff below wins — ``lax.sort`` runs its
+whole bitonic network fused in VMEM, which none of the hand-built
+alternatives get from XLA.  It is the forward chain's limiting stage
+(roofline artifact) and has earned its cost.
 
 Decode inverts it with a ``searchsorted`` over the cumulative counts —
 a vectorized gather instead of the reference's nested fill loops
