@@ -240,7 +240,13 @@ def run_jpeg_inverse_device_experiment(
                     packed16=True,
                 )
             )(rle, lens)
-            return carry + jnp.sum(rgb[..., ::13, 0].astype(jnp.float32))
+            # Fence the FULL RGB output: channel 0 alone would let XLA
+            # dead-code-eliminate the whole Cb inverse chain (R = Y +
+            # 1.402·Cr never reads Cb), and strided column sampling lets
+            # it slice untouched MCUs out of the batched matmuls — the
+            # same artifact-inflating hazard the forward roofline had
+            # (results/formulation_ab.json::fence_dce_and_rle_round2b).
+            return carry + jnp.sum(rgb.astype(jnp.float32))
 
         f = jax.jit(inverse_fenced)
 
