@@ -108,9 +108,12 @@ def run_jpeg_forward_roofline(
     # -- stage 1: color transform + 4:2:2 + MCU split --------------------
     def split_body(x, c, s):
         lum, r, b = split(x + c.astype(jnp.uint8))
-        return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s + jnp.sum(
-            lum[:, 0, 0, 0].astype(jnp.float32)
+        # Full-output fence: a few-element checksum is sliceable through
+        # the transposes (same DCE hazard as the RLE fence, see below).
+        s = s + sum(
+            jnp.sum(t.astype(jnp.float32)) for t in (lum, r, b)
         )
+        return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s
 
     print("timing color_split ...", flush=True)
     stages["color_split"] = {
@@ -122,8 +125,10 @@ def run_jpeg_forward_roofline(
     # -- stage 2: fused DCT+quant+zigzag matmul (3 channels) -------------
     def matmul_body(ts, c, s):
         out = matmuls(ts, c)
+        # Full-output fence: a column slice of a dot is itself a smaller
+        # dot, so a partial checksum would under-measure.
         return (out[0][0, 0] % 2).astype(jnp.int16), s + sum(
-            jnp.sum(o[:, 0]) for o in out
+            jnp.sum(o) for o in out
         )
 
     print("timing mcu_matmul ...", flush=True)
