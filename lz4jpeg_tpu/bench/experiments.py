@@ -295,12 +295,23 @@ def run_lz4_device_experiment(
     rng = np.random.default_rng(seed)
     corpus = load_corpus()
     results = []
-    fn = jax.jit(
-        lambda b, l: sum(
-            jnp.sum(o.astype(jnp.float32)) for o in fast_match_blocks(b, l)
-        )
-    )
-    for nblocks in batches or [64, 256, 1024, 2048]:
+    chain = 4  # serialized iterations per dispatch: amortizes the ~24 ms
+    # tunnel RTT that a single dispatch pays in full (+19% measured at
+    # 33 MB; the carry perturbs the input so iterations cannot be CSE'd,
+    # and the full match-field checksum feeds the carry so nothing DCEs)
+
+    def chained(b, l, c0):
+        def body(_, carry):
+            c, s = carry
+            outs = fast_match_blocks(b ^ c, l)
+            s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return (s.astype(jnp.int32) % 2).astype(jnp.uint8), s
+
+        _, s = jax.lax.fori_loop(0, chain, body, (c0, jnp.float32(0)))
+        return s
+
+    fn = jax.jit(chained)
+    for nblocks in batches or [64, 256, 1024, 2048, 4096]:
         p = 16384
         reps = -(-nblocks * p // len(corpus))
         data = (corpus * reps)[: nblocks * p]
@@ -310,9 +321,9 @@ def run_lz4_device_experiment(
         lengths = jnp.full((nblocks,), p, jnp.int32)
 
         def step():
-            float(fn(blocks, lengths))
+            float(fn(blocks, lengths, jnp.uint8(0)))
 
-        mb = nblocks * p / 1e6
+        mb = chain * nblocks * p / 1e6
         r = run_timed(
             "lz4_device_match", step, scale=nblocks, runs=runs,
             work=mb, work_unit="MB",
