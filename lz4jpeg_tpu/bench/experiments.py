@@ -211,8 +211,9 @@ def run_jpeg_inverse_device_experiment(
     RLE pairs → RLE expansion → fused IDCT chain → YCbCr→RGB reassembly.
 
     The decode-side twin of ``bench.py``'s forward headline: per-size
-    batches hold ~134 MPix per dispatch, 4 chained dispatches per run with
-    the checksum of each folded into the next (one honest fence per run).
+    batches target ~512 MPix per dispatch capped at batch 512 (so 512²
+    runs at ~134 MPix/dispatch), 4 chained dispatches per run with the
+    checksum of each folded into the next (one honest fence per run).
     Backs the README's device-decode number with a committed artifact.
     """
     import jax
@@ -305,7 +306,10 @@ def run_lz4_device_experiment(
             c, s = carry
             outs = fast_match_blocks(b ^ c, l)
             s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-            return (s.astype(jnp.int32) % 2).astype(jnp.uint8), s
+            # Bounded carry: mod the float before the int cast — at 67 MB
+            # batches the raw checksum (~1e12) exceeds int32 range and
+            # out-of-range float→int conversion is implementation-defined.
+            return (s % 2).astype(jnp.uint8), s
 
         _, s = jax.lax.fori_loop(0, chain, body, (c0, jnp.float32(0)))
         return s

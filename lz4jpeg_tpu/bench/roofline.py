@@ -166,10 +166,11 @@ def run_jpeg_forward_roofline(
     stages["rle"] = {
         "measured_s": _chain_bench(rle_body, zz, chain),
         "flops": 0,  # compare/select network — not MXU work
-        # f32 zz in, packed u16 [count|value] out; the sort network's
-        # internal passes are excluded by the read-once/write-once
-        # convention, which is why this stage's SoL fraction is low.
-        "bytes": 8 * npix + 4 * npix,
+        # f32 zz in, packed u16 [count|value] out (or int32 (N,2L) pairs
+        # on the non-pack16 fallback); the sort network's internal passes
+        # are excluded by the read-once/write-once convention, which is
+        # why this stage's SoL fraction is low.
+        "bytes": 8 * npix + (4 * npix if pipeline._pack16 else 16 * npix),
     }
 
     # -- whole forward chain (what bench.py times) ------------------------

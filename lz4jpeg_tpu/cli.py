@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="append an encode record + frame structure to this file "
         "(the reference's encoding_log.txt)",
     )
+    enc.add_argument(
+        "--engine",
+        choices=["auto", "native", "python", "tpu"],
+        default="auto",
+        help="fast-mode match finder: the device (tpu) sort-based matcher, "
+        "the native C++ host encoder, or the Python spec (auto prefers "
+        "native)",
+    )
     dec = lz4_sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("output")
@@ -46,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="render like the reference's uncompressed.txt "
         "(non-printables as 0xNN text)",
+    )
+    dec.add_argument(
+        "--engine",
+        choices=["auto", "native", "python", "tpu"],
+        default="auto",
+        help="tpu resolves match chains on the accelerator (batched "
+        "pointer doubling); native/python decode on the host",
     )
     insp = lz4_sub.add_parser("inspect")
     insp.add_argument("input")
@@ -117,7 +132,7 @@ def _cmd_lz4(args) -> int:
                 log_path=args.log,
             )
         )
-        out = codec.encode(data)
+        out = codec.encode(data, engine=args.engine)
         with open(args.output, "wb") as f:
             f.write(out)
         if args.hexdump:
@@ -125,7 +140,7 @@ def _cmd_lz4(args) -> int:
         print(f"{len(data)} -> {len(out)} bytes ({len(out)/len(data):.3f})")
     else:
         codec = LZ4Codec(LZ4Config(mode="fast"))
-        raw = codec.decode(data)
+        raw = codec.decode(data, engine=args.engine)
         if args.text:
             write_text_rendering(args.output, raw)
         else:

@@ -5,7 +5,7 @@ with all their limits (u8 block count, u8-wrapped lengths, ≤76.5 KB inputs,
 unrepresentable >270-byte literal runs).  The fast frame is the
 framework-native replacement with none of those limits:
 
-    Frame   := magic:u32le ("LZ4T") version:u8 block_log:u8 reserved:u16le
+    Frame   := magic:u32le ("LZ4T") version:u8 block_log:u8 checksum:u16le
                raw_size:u64le block_count:u32le
                comp_size:u32le[block_count]        (bit31 set → stored raw)
                payload[block_count]
@@ -25,7 +25,13 @@ TPU-first design notes (vs the reference, SURVEY.md §2.3):
 * blocks are independent 2**block_log windows (64 KiB default), the natural
   shard axis for ``shard_map`` data parallelism and the ordered gather;
 * incompressible blocks are stored raw (bit31 of comp_size), so worst-case
-  expansion is the fixed header, not 25% like the parity format.
+  expansion is the fixed header, not 25% like the parity format;
+* the header carries a 16-bit content checksum (CRC32 of the raw bytes
+  folded into [1, 0xFFFF]; 0 = absent, for frames from older writers), so
+  corrupt-but-parseable streams raise a typed error instead of silently
+  decoding to wrong bytes — every decoder (spec, C++, device) verifies it.
+  The reference had no integrity story at all; its decoder trusts every
+  field (``Algorithms/sequential/LZ4/LZ4.c:890-935``).
 
 This module is the executable spec; ``native/lz4core.cpp`` implements the
 same algorithm (same hash table, same greedy walk — byte-identical output)
@@ -35,6 +41,7 @@ at C++ speed, and ``models/lz4.py`` prefers it when built.
 from __future__ import annotations
 
 import struct
+import zlib
 
 MAGIC = 0x54345A4C  # "LZ4T" little-endian
 VERSION = 1
@@ -46,6 +53,19 @@ _HASH_LOG = 13  # 8192-entry table
 
 class FastFormatError(ValueError):
     pass
+
+
+def content_checksum16(data: bytes, crc: int = 0) -> int:
+    """CRC32 of the raw content folded into [1, 0xFFFF] (0 means "absent").
+
+    Streaming callers fold chunk CRCs with ``fold_checksum16(running_crc)``
+    after accumulating ``running_crc = zlib.crc32(chunk, running_crc)``.
+    """
+    return fold_checksum16(zlib.crc32(data, crc))
+
+
+def fold_checksum16(crc32_value: int) -> int:
+    return (crc32_value & 0xFFFFFFFF) % 0xFFFF + 1
 
 
 def _hash32(x: int) -> int:
@@ -160,9 +180,13 @@ def assemble_frame(
         else:
             sizes.append(len(payload))
             body += payload
+    crc = 0
+    for raw in block_raws:
+        crc = zlib.crc32(raw, crc)
     out = bytearray()
     out += struct.pack(
-        "<IBBHQI", MAGIC, VERSION, block_log, 0, total_size, len(sizes)
+        "<IBBHQI", MAGIC, VERSION, block_log, fold_checksum16(crc),
+        total_size, len(sizes),
     )
     out += struct.pack(f"<{len(sizes)}I", *sizes)
     out += body
@@ -234,7 +258,8 @@ def encode_fast(data: bytes, block_log: int = DEFAULT_BLOCK_LOG) -> bytes:
             sizes.append(len(comp))
     out = bytearray()
     out += struct.pack(
-        "<IBBHQI", MAGIC, VERSION, block_log, 0, len(data), len(blocks)
+        "<IBBHQI", MAGIC, VERSION, block_log, content_checksum16(data),
+        len(data), len(blocks),
     )
     out += struct.pack(f"<{len(sizes)}I", *sizes)
     for p in payloads:
@@ -245,8 +270,8 @@ def encode_fast(data: bytes, block_log: int = DEFAULT_BLOCK_LOG) -> bytes:
 def decode_fast(data: bytes) -> bytes:
     if len(data) < 20:
         raise FastFormatError("frame too short")
-    magic, version, block_log, _res, raw_size, block_count = struct.unpack_from(
-        "<IBBHQI", data, 0
+    magic, version, block_log, checksum, raw_size, block_count = (
+        struct.unpack_from("<IBBHQI", data, 0)
     )
     if magic != MAGIC:
         raise FastFormatError("bad magic")
@@ -272,8 +297,19 @@ def decode_fast(data: bytes) -> bytes:
         p += length
     if p != len(data) or len(out) != raw_size:
         raise FastFormatError("frame size mismatch")
+    if checksum and content_checksum16(bytes(out)) != checksum:
+        raise FastFormatError("content checksum mismatch")
     return bytes(out)
 
 
 def is_fast_frame(data: bytes) -> bool:
     return len(data) >= 4 and struct.unpack_from("<I", data, 0)[0] == MAGIC
+
+
+def verify_frame_checksum(frame: bytes, decoded: bytes) -> None:
+    """Raise the typed error if ``frame``'s header checksum (nonzero) does
+    not match ``decoded``.  Decoders that reconstruct outside
+    ``decode_fast`` (device resolve, sharded, streaming) share this gate."""
+    (checksum,) = struct.unpack_from("<H", frame, 6)
+    if checksum and content_checksum16(decoded) != checksum:
+        raise FastFormatError("content checksum mismatch")

@@ -6,8 +6,8 @@ code table is ever written (SURVEY.md §2.2.8).  The framework's shared-
 codebook entropy mode is serializable by construction — this module defines
 the wire format:
 
-    Container := magic:u32le ("TJPG") version:u8 reserved:u8
-                 height:u32le width:u32le
+    Container := magic:u32le ("TJPG") version:u8 quality:u8
+                 height:u32le width:u32le checksum:u16le     (v2)
                  Channel["lum"] Channel["r"] Channel["b"]
     Channel   := codebook_len:u32le codebook (see CanonicalCodebook)
                  nbits:u32le packed_len:u32le packed bytes
@@ -16,6 +16,12 @@ The header's third byte carries the quality setting (0 = the reference's
 fixed tables); decode rebuilds the quant tables from it.  Block boundaries
 are recovered from the RLE counts (each block's pair counts sum to its
 coefficient count).
+
+``checksum`` (v2) is CRC32 of the header's first 14 bytes plus everything
+after the checksum field, folded into [1, 0xFFFF] — so a flipped height,
+codebook bit or payload byte raises the typed error instead of silently
+reconstructing a wrong image (the mutation-fuzz guarantee,
+tests/test_robustness.py).  v1 containers (no checksum) still decode.
 """
 
 from __future__ import annotations
@@ -31,11 +37,22 @@ if TYPE_CHECKING:
     from lz4jpeg_tpu.models.jpeg import JPEGEncoded
 
 MAGIC = 0x47504A54  # "TJPG"
-VERSION = 1
+VERSION = 2
 
 
 class JPEGContainerError(ValueError):
     pass
+
+
+def _container_checksum16(data: bytes) -> int:
+    """Checksum over the container with the checksum field excluded."""
+    from lz4jpeg_tpu.formats.fast_frame import content_checksum16
+
+    import zlib
+
+    return (
+        content_checksum16(data[16:], zlib.crc32(data[:14]))
+    )
 
 
 def pack_container(enc: "JPEGEncoded") -> bytes:
@@ -50,6 +67,7 @@ def pack_container(enc: "JPEGEncoded") -> bytes:
     out += struct.pack(
         "<IBBII", MAGIC, VERSION, quality, enc.height, enc.width
     )
+    out += b"\x00\x00"  # checksum backfilled below
     for c in ("lum", "r", "b"):
         codebook, packed, nbits = enc.shared_streams[c]
         blob = codebook.serialize()
@@ -57,6 +75,7 @@ def pack_container(enc: "JPEGEncoded") -> bytes:
         out += blob
         out += struct.pack("<II", nbits, len(packed))
         out += packed
+    struct.pack_into("<H", out, 14, _container_checksum16(bytes(out)))
     return bytes(out)
 
 
@@ -72,9 +91,17 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
     )
     if magic != MAGIC:
         raise JPEGContainerError("bad magic")
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise JPEGContainerError(f"unsupported version {version}")
-    p = 14
+    if version >= 2:
+        if len(data) < 16:
+            raise JPEGContainerError("container too short")
+        (checksum,) = struct.unpack_from("<H", data, 14)
+        if checksum and _container_checksum16(data) != checksum:
+            raise JPEGContainerError("container checksum mismatch")
+        p = 16
+    else:
+        p = 14  # legacy v1: no checksum field
     bpc, bpr = -(-height // 8), -(-width // 8)
     num_blocks = bpc * bpr
     shared = {}

@@ -208,6 +208,12 @@ def apply_sequences(blocks: List[Block]) -> bytes:
         for seq in block.sequences:
             out += seq.literals
             if seq.match_offset != 0:
+                if seq.match_offset > len(out):
+                    # The reference reads out of bounds here (interpret_
+                    # sequence trusts the offset); our decoder types it.
+                    raise FormatError(
+                        f"match offset {seq.match_offset} before stream start"
+                    )
                 for _ in range(seq.match_length):
                     out.append(out[len(out) - seq.match_offset])
     return bytes(out)

@@ -110,7 +110,18 @@ class LZ4Codec:
         return frame
 
     def _encode_fast_tpu(self, data: bytes) -> bytes:
-        """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9).
+        """Fast-mode encode with TPU match finding (SURVEY.md §7 step 9)."""
+        from lz4jpeg_tpu.formats.fast_frame import assemble_frame
+        from lz4jpeg_tpu.ops.lz4_fast import TPU_BLOCK_LOG
+
+        payloads, raws = self._tpu_chunk_payloads(data)
+        return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
+
+    def _tpu_chunk_payloads(self, data: bytes):
+        """TPU match + host emission for one chunk of consecutive
+        ``TPU_BLOCK_LOG`` blocks; returns ``(payloads, raws)`` lists ready
+        for frame assembly — shared by ``encode()`` and the streaming
+        ``encode_file(engine="tpu")`` path.
 
         Tunnel-aware data movement: blocks go up as uint8 (4× cheaper than
         int32), and only the device-compacted match records come back —
@@ -120,10 +131,7 @@ class LZ4Codec:
         """
         import jax.numpy as jnp
 
-        from lz4jpeg_tpu.formats.fast_frame import (
-            assemble_frame,
-            emit_block_from_parse,
-        )
+        from lz4jpeg_tpu.formats.fast_frame import emit_block_from_parse
         from lz4jpeg_tpu.native import native_available, native_backend
         from lz4jpeg_tpu.ops.lz4_fast import TPU_BLOCK_LOG, pad_blocks_fast
 
@@ -173,7 +181,7 @@ class LZ4Codec:
                 )
                 for bi in range(num_blocks)
             ]
-        return assemble_frame(payloads, raws, len(data), TPU_BLOCK_LOG)
+        return payloads, raws
 
     def _encode_parity(self, data: bytes) -> bytes:
         block_length = self.config.block_length
@@ -210,18 +218,29 @@ class LZ4Codec:
     # ------------------------------------------------------------------
 
     def encode_file(
-        self, input_path: str, output_path: str, chunk_blocks: int = 1024
+        self,
+        input_path: str,
+        output_path: str,
+        chunk_blocks: int = 1024,
+        engine: str = "auto",
     ) -> int:
         """Stream-encode a file of arbitrary size into one LZ4T frame.
 
-        Reads ``chunk_blocks`` 64 KiB blocks at a time, so memory stays
-        O(chunk) for inputs far beyond RAM; the size table is backfilled
-        after the payloads (the format keeps it up front for parallel
-        decode framing).  Returns compressed size.  Fast mode only — the
-        parity format caps inputs at 255 blocks by construction.
+        Reads ``chunk_blocks`` blocks at a time, so memory stays O(chunk)
+        for inputs far beyond RAM; the size table (and content checksum)
+        are backfilled after the payloads (the format keeps them up front
+        for parallel decode framing).  Returns compressed size.  Fast mode
+        only — the parity format caps inputs at 255 blocks by construction.
+
+        Engines (the same fast engines as ``encode``, at chunk
+        granularity): ``"native"`` compresses each whole chunk in one C++
+        call (``lz4t_encode_chunk``); ``"tpu"`` runs the device matcher
+        per chunk (16 KiB blocks); ``"python"`` is the spec loop;
+        ``"auto"`` prefers native.
         """
         import os
         import struct
+        import zlib
 
         from lz4jpeg_tpu.formats.fast_frame import (
             DEFAULT_BLOCK_LOG,
@@ -229,20 +248,34 @@ class LZ4Codec:
             RAW_FLAG,
             VERSION,
             compress_block,
+            fold_checksum16,
         )
         from lz4jpeg_tpu.native import native_available, native_backend
 
         if self.config.mode != "fast":
             raise ValueError("encode_file requires fast mode")
-        block_size = 1 << DEFAULT_BLOCK_LOG
+        native = (
+            native_backend()
+            if engine in ("auto", "native") and native_available()
+            else None
+        )
+        if engine == "native" and native is None:
+            raise RuntimeError("native engine requested but not built")
+        if engine == "tpu":
+            from lz4jpeg_tpu.ops.lz4_fast import TPU_BLOCK_LOG
+
+            block_log = TPU_BLOCK_LOG
+        else:
+            block_log = DEFAULT_BLOCK_LOG
+        block_size = 1 << block_log
         total = os.path.getsize(input_path)
         block_count = -(-total // block_size) if total else 0
-        native = native_backend() if native_available() else None
         sizes: List[int] = []
+        crc = 0
         with open(input_path, "rb") as src, open(output_path, "wb") as dst:
             dst.write(
                 struct.pack(
-                    "<IBBHQI", MAGIC, VERSION, DEFAULT_BLOCK_LOG, 0,
+                    "<IBBHQI", MAGIC, VERSION, block_log, 0,
                     total, block_count,
                 )
             )
@@ -251,25 +284,32 @@ class LZ4Codec:
                 chunk = src.read(block_size * chunk_blocks)
                 if not chunk:
                     break
-                for start in range(0, len(chunk), block_size):
-                    raw = chunk[start : start + block_size]
-                    if native is not None:
-                        # Native compresses whole frames; reuse its block
-                        # emitter granularity via the Python spec matcher
-                        # only when absent.  Single-block frame → payload.
-                        sub = native.encode_fast(raw)
-                        (rec,) = struct.unpack_from("<I", sub, 20)
-                        payload = sub[24:]
-                        stored_raw = bool(rec & RAW_FLAG)
-                    else:
+                crc = zlib.crc32(chunk, crc)
+                if engine == "tpu":
+                    payloads, raws = self._tpu_chunk_payloads(chunk)
+                    for payload, raw in zip(payloads, raws):
+                        if payload is None or len(payload) >= len(raw):
+                            sizes.append(len(raw) | RAW_FLAG)
+                            dst.write(raw)
+                        else:
+                            sizes.append(len(payload))
+                            dst.write(payload)
+                elif native is not None:
+                    body, recs = native.encode_chunk(chunk, block_log)
+                    sizes.extend(int(r) for r in recs)
+                    dst.write(body)
+                else:
+                    for start in range(0, len(chunk), block_size):
+                        raw = chunk[start : start + block_size]
                         payload = compress_block(raw)
-                        stored_raw = len(payload) >= len(raw)
-                    if stored_raw:
-                        sizes.append(len(raw) | RAW_FLAG)
-                        dst.write(raw)
-                    else:
-                        sizes.append(len(payload))
-                        dst.write(payload)
+                        if len(payload) >= len(raw):
+                            sizes.append(len(raw) | RAW_FLAG)
+                            dst.write(raw)
+                        else:
+                            sizes.append(len(payload))
+                            dst.write(payload)
+            dst.seek(6)
+            dst.write(struct.pack("<H", fold_checksum16(crc) if total else 0))
             dst.seek(20)
             dst.write(struct.pack(f"<{len(sizes)}I", *sizes))
         return os.path.getsize(output_path)
@@ -277,8 +317,14 @@ class LZ4Codec:
     def decode_file(
         self, input_path: str, output_path: str, chunk_blocks: int = 1024
     ) -> int:
-        """Stream-decode an LZ4T file; returns raw size."""
+        """Stream-decode an LZ4T file; returns raw size.
+
+        Decodes ``chunk_blocks`` blocks per native call
+        (``lz4t_decode_chunk`` — no per-block sub-frame wrapping) and
+        verifies the frame's content checksum incrementally.
+        """
         import struct
+        import zlib
 
         from lz4jpeg_tpu.formats.fast_frame import (
             FastFormatError,
@@ -286,6 +332,7 @@ class LZ4Codec:
             RAW_FLAG,
             VERSION,
             decompress_block,
+            fold_checksum16,
         )
         from lz4jpeg_tpu.native import native_available, native_backend
 
@@ -293,41 +340,74 @@ class LZ4Codec:
 
         with open(input_path, "rb") as src:
             header = src.read(20)
-            magic, version, block_log, _res, raw_size, block_count = (
+            if len(header) < 20:
+                raise FastFormatError("frame too short")
+            magic, version, block_log, checksum, raw_size, block_count = (
                 struct.unpack("<IBBHQI", header)
             )
             if magic != MAGIC:
                 raise FastFormatError("bad magic")
             if version != VERSION:
                 raise FastFormatError(f"unsupported version {version}")
-            sizes = struct.unpack(f"<{block_count}I", src.read(4 * block_count))
+            table = src.read(4 * block_count)
+            if len(table) < 4 * block_count:
+                raise FastFormatError("truncated size table")
+            sizes = struct.unpack(f"<{block_count}I", table)
             block_size = 1 << block_log
             written = 0
+            crc = 0
             with open(output_path, "wb") as dst:
-                for i, rec in enumerate(sizes):
-                    expected = min(block_size, raw_size - i * block_size)
-                    if rec & RAW_FLAG:
-                        data = src.read(rec & ~RAW_FLAG)
-                        if len(data) != expected:
-                            raise FastFormatError(f"raw block {i} truncated")
-                    elif native is not None:
-                        # Wrap the payload as a one-block frame for the
-                        # native decoder.
-                        sub = (
-                            struct.pack(
-                                "<IBBHQI", MAGIC, VERSION, block_log, 0,
-                                expected, 1,
+                for group in range(0, block_count, chunk_blocks):
+                    recs = sizes[group : group + chunk_blocks]
+                    payload_len = sum(
+                        (r & ~RAW_FLAG) if r & RAW_FLAG else r for r in recs
+                    )
+                    payloads = src.read(payload_len)
+                    if len(payloads) != payload_len:
+                        raise FastFormatError("truncated payloads")
+                    raw_total = min(
+                        block_size * len(recs), raw_size - written
+                    )
+                    if raw_total < 0:
+                        raise FastFormatError("block count exceeds raw size")
+                    if native is not None:
+                        try:
+                            data = native.decode_chunk(
+                                payloads, recs, block_log, raw_total
                             )
-                            + struct.pack("<I", rec)
-                            + src.read(rec)
-                        )
-                        data = native.decode_fast(sub, expected)
+                        except RuntimeError as e:
+                            raise FastFormatError(str(e)) from e
                     else:
-                        data = decompress_block(src.read(rec), expected)
+                        parts = []
+                        p = 0
+                        done = written
+                        for i, rec in enumerate(recs):
+                            expected = min(block_size, raw_size - done)
+                            if rec & RAW_FLAG:
+                                length = rec & ~RAW_FLAG
+                                part = payloads[p : p + length]
+                                if len(part) != expected:
+                                    raise FastFormatError(
+                                        f"raw block {group + i} truncated"
+                                    )
+                            else:
+                                length = rec
+                                part = decompress_block(
+                                    payloads[p : p + rec], expected
+                                )
+                            parts.append(part)
+                            p += length
+                            done += expected
+                        data = b"".join(parts)
+                    crc = zlib.crc32(data, crc)
                     dst.write(data)
                     written += len(data)
+                if src.read(1):
+                    raise FastFormatError("trailing garbage after frame")
             if written != raw_size:
                 raise FastFormatError("frame size mismatch")
+            if checksum and fold_checksum16(crc) != checksum:
+                raise FastFormatError("content checksum mismatch")
         return written
 
     def decode(self, compressed: bytes, engine: str = "auto") -> bytes:
@@ -336,8 +416,9 @@ class LZ4Codec:
         ``engine="tpu"`` resolves all match chains on the accelerator —
         batched pointer doubling per block for LZ4T frames
         (``ops/lz4t_decode.py``), the global-buffer variant for parity
-        frames (``ops/lz4_decode.py``).  ``"auto"`` decodes on the host
-        (native C++ when built, Python spec otherwise)."""
+        frames (``ops/lz4_decode.py``).  ``"native"`` forces the C++
+        decoder, ``"python"`` the executable spec; ``"auto"`` decodes on
+        the host (native C++ when built, Python spec otherwise)."""
         from lz4jpeg_tpu.formats.fast_frame import is_fast_frame
 
         if is_fast_frame(compressed):
@@ -350,7 +431,7 @@ class LZ4Codec:
                 from lz4jpeg_tpu.ops.lz4t_decode import decode_fast_device
 
                 return decode_fast_device(compressed)
-            if native_available():
+            if engine == "native" or (engine == "auto" and native_available()):
                 (raw_size,) = struct.unpack_from("<Q", compressed, 8)
                 return native_backend().decode_fast(compressed, raw_size)
             return decode_fast(compressed)

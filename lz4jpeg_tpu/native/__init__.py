@@ -57,6 +57,17 @@ class NativeBackend:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ]
+        lib.lz4t_encode_chunk.restype = ctypes.c_int64
+        lib.lz4t_encode_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
+        lib.lz4t_decode_chunk.restype = ctypes.c_int64
+        lib.lz4t_decode_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.c_size_t,
+        ]
         lib.lz4t_build_copy_program.restype = ctypes.c_int64
         lib.lz4t_build_copy_program.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -168,6 +179,43 @@ class NativeBackend:
         return [
             buf[offsets[i] : offsets[i + 1]] for i in range(b)
         ]
+
+    def encode_chunk(self, data: bytes, block_log: int):
+        """Compress a chunk as consecutive 2**block_log blocks in ONE
+        native call (the streaming encode_file granularity).  Returns
+        ``(payload_bytes, size_records uint32[count])`` with RAW_FLAG
+        semantics matching the frame writer."""
+        import numpy as np
+
+        block_size = 1 << block_log
+        count = max(0, -(-len(data) // block_size))
+        sizes = np.zeros(max(count, 1), np.uint32)
+        cap = len(data) + count * (block_size // 255 + 64) + 64
+        out = ctypes.create_string_buffer(cap)
+        n = self._lib.lz4t_encode_chunk(
+            data, len(data), block_log, out, cap, sizes.ctypes.data
+        )
+        if n < 0:
+            raise RuntimeError(f"native chunk encode failed ({n})")
+        return out.raw[:n], sizes[:count]
+
+    def decode_chunk(
+        self, payloads: bytes, recs, block_log: int, raw_total: int
+    ) -> bytes:
+        """Decode consecutive block payloads in ONE native call (the
+        streaming decode_file granularity; no per-block sub-frames)."""
+        import numpy as np
+
+        recs = np.ascontiguousarray(recs, np.uint32)
+        out = ctypes.create_string_buffer(max(raw_total, 1))
+        n = self._lib.lz4t_decode_chunk(
+            payloads, len(payloads),
+            recs.ctypes.data, len(recs), block_log,
+            raw_total, out, max(raw_total, 1),
+        )
+        if n < 0:
+            raise RuntimeError(f"native chunk decode failed ({n})")
+        return out.raw[:n]
 
     def build_copy_program(
         self, frame: bytes, block_count: int, block_size: int,

@@ -44,6 +44,36 @@ inline uint32_t hash32(uint32_t x) {
   return (x * kHashMult) >> (32 - kHashLog);
 }
 
+// CRC32 (zlib polynomial, reflected 0xEDB88320) for the frame's 16-bit
+// content checksum — must match zlib.crc32 byte for byte so the C++ and
+// Python writers emit identical headers (formats/fast_frame.py).
+inline const uint32_t* crc32_table() {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+    init = true;
+  }
+  return table;
+}
+
+inline uint32_t crc32_update(uint32_t crc, const uint8_t* p, size_t n) {
+  const uint32_t* t = crc32_table();
+  crc ^= 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) crc = t[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
+// Fold into [1, 0xFFFF]; 0 in the header means "checksum absent".
+inline uint16_t fold_checksum16(uint32_t crc) {
+  return static_cast<uint16_t>(crc % 0xFFFFu + 1);
+}
+
 inline void put16(std::vector<uint8_t>& out, uint16_t v) {
   out.push_back(v & 0xFF);
   out.push_back(v >> 8);
@@ -293,7 +323,8 @@ int64_t lz4_encode_fast(const uint8_t* data, size_t n, uint8_t* out,
   std::memcpy(out, &kMagic, 4);
   out[4] = kVersion;
   out[5] = kBlockLog;
-  out[6] = out[7] = 0;
+  const uint16_t csum = fold_checksum16(crc32_update(0, data, n));
+  std::memcpy(out + 6, &csum, 2);
   uint64_t n64 = n;
   std::memcpy(out + 8, &n64, 8);
   uint32_t bc32 = static_cast<uint32_t>(block_count);
@@ -365,7 +396,92 @@ int64_t lz4_decode_fast(const uint8_t* data, size_t n, uint8_t* out,
     }
   }
   if (p != n || w != raw_size) return kErrBadInput;
+  uint16_t want_csum;
+  std::memcpy(&want_csum, data + 6, 2);
+  if (want_csum != 0 &&
+      fold_checksum16(crc32_update(0, out, w)) != want_csum)
+    return kErrBadInput;
   return static_cast<int64_t>(w);
+}
+
+// Streaming-chunk encode: compress `n` bytes as consecutive 2^block_log
+// blocks in ONE call (the encode_file path — chunk granularity instead of
+// one ctypes round trip per 64 KiB block).  Payloads are concatenated into
+// `out`; `sizes_out[i]` gets the RAW_FLAG-tagged size-table record for
+// block i (raw-stored when compression does not shrink it), exactly as the
+// frame writer would.  Returns total payload bytes written, or <0.
+int64_t lz4t_encode_chunk(const uint8_t* data, size_t n, int block_log,
+                          uint8_t* out, size_t out_cap, uint32_t* sizes_out) {
+  if (block_log < 8 || block_log > 24) return kErrBadInput;
+  const size_t block_size = 1ull << block_log;
+  const size_t block_count = n == 0 ? 0 : (n + block_size - 1) / block_size;
+  std::vector<uint8_t> scratch(block_size + block_size / 255 + 64);
+  std::vector<int32_t> table(1u << kHashLog);
+  size_t w = 0;
+  for (size_t b = 0; b < block_count; ++b) {
+    const uint8_t* p = data + b * block_size;
+    const size_t len =
+        (b + 1) * block_size <= n ? block_size : n - b * block_size;
+    const size_t comp = compress_block_fast(p, len, scratch.data(), table.data());
+    const uint8_t* payload;
+    size_t payload_len;
+    if (comp >= len) {
+      sizes_out[b] = static_cast<uint32_t>(len) | kRawFlag;
+      payload = p;
+      payload_len = len;
+    } else {
+      sizes_out[b] = static_cast<uint32_t>(comp);
+      payload = scratch.data();
+      payload_len = comp;
+    }
+    if (w + payload_len > out_cap) return kErrOutputFull;
+    std::memcpy(out + w, payload, payload_len);
+    w += payload_len;
+  }
+  return static_cast<int64_t>(w);
+}
+
+// Streaming-chunk decode: `count` consecutive block payloads (concatenated
+// in `payloads`, size-table records in `recs`) -> raw bytes, ONE call per
+// chunk (the decode_file path; no per-block sub-frame wrapping).
+// `raw_total` is the expected raw byte total of these blocks (all full
+// blocks except possibly the last of the file).  Returns bytes written
+// or <0.
+int64_t lz4t_decode_chunk(const uint8_t* payloads, size_t n,
+                          const uint32_t* recs, int64_t count, int block_log,
+                          uint64_t raw_total, uint8_t* out, size_t out_cap) {
+  if (block_log < 8 || block_log > 24) return kErrBadInput;
+  if (raw_total > out_cap) return kErrOutputFull;
+  const size_t block_size = 1ull << block_log;
+  size_t p = 0, w = 0;
+  for (int64_t b = 0; b < count; ++b) {
+    const uint32_t rec = recs[b];
+    const size_t expected =
+        raw_total - w < block_size ? static_cast<size_t>(raw_total - w)
+                                   : block_size;
+    if (rec & kRawFlag) {
+      const size_t len = rec & ~kRawFlag;
+      if (len != expected || p + len > n) return kErrBadInput;
+      std::memcpy(out + w, payloads + p, len);
+      p += len;
+      w += len;
+    } else {
+      if (p + rec > n) return kErrBadInput;
+      int64_t got =
+          decompress_block_fast(payloads + p, rec, out, w, out_cap, expected);
+      if (got < 0) return got;
+      p += rec;
+      w += expected;
+    }
+  }
+  if (p != n || w != raw_total) return kErrBadInput;
+  return static_cast<int64_t>(w);
+}
+
+// Incremental CRC32 export for the streaming paths (zlib-compatible) so
+// Python and C++ writers stay checksum-identical without recomputation.
+uint32_t lz4t_crc32(uint32_t crc, const uint8_t* data, size_t n) {
+  return crc32_update(crc, data, n);
 }
 
 // Parity frame encode (reference wire format).  Returns bytes written or <0.

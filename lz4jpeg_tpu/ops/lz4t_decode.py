@@ -229,6 +229,8 @@ def decode_fast_device(frame: bytes) -> bytes:
     """Full LZ4T decode with device match resolution (single device)."""
     import jax
 
+    from lz4jpeg_tpu.formats.fast_frame import verify_frame_checksum
+
     lit, src, raw_sizes, p, max_depth = build_copy_program_fast(frame)
     if lit.shape[0] == 0:
         return b""
@@ -238,7 +240,9 @@ def decode_fast_device(frame: bytes) -> bytes:
             resolve_blocks(jax.numpy.asarray(lit), jax.numpy.asarray(src), steps)
         )
     )
-    return _trim_rows(out, raw_sizes)
+    decoded = _trim_rows(out, raw_sizes)
+    verify_frame_checksum(frame, decoded)
+    return decoded
 
 
 def _trim_rows(out: np.ndarray, raw_sizes: np.ndarray) -> bytes:

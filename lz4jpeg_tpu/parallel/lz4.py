@@ -160,6 +160,7 @@ def sharded_fast_decode(frame: bytes, mesh: Mesh) -> bytes:
     Host does the linear framing/parse pass (prefix-summable thanks to the
     up-front size table), the mesh resolves all match chains in parallel.
     """
+    from lz4jpeg_tpu.formats.fast_frame import verify_frame_checksum
     from lz4jpeg_tpu.ops.lz4t_decode import (
         _trim_rows,
         build_copy_program_fast,
@@ -176,7 +177,9 @@ def sharded_fast_decode(frame: bytes, mesh: Mesh) -> bytes:
     out = sharded_resolve_blocks(
         lit_p, src_p, mesh, steps=depth_to_steps(max_depth)
     )[:n_blocks]
-    return _trim_rows(out, raw_sizes)
+    decoded = _trim_rows(out, raw_sizes)
+    verify_frame_checksum(frame, decoded)
+    return decoded
 
 
 def multihost_fast_encode(data: bytes) -> bytes:

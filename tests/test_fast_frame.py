@@ -143,3 +143,97 @@ class TestFileStreaming:
         out = tmp_path / "empty.out"
         assert codec.decode_file(str(comp), str(out)) == 0
         assert out.read_bytes() == b""
+
+    def test_python_engine_matches_spec_frame(self, tmp_path, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "in.txt"
+        src.write_bytes(metamorphosis)
+        comp = tmp_path / "out.lz4t"
+        codec.encode_file(str(src), str(comp), engine="python")
+        assert comp.read_bytes() == fast_frame.encode_fast(metamorphosis)
+
+    def test_tpu_engine_file_roundtrip(self, tmp_path, metamorphosis):
+        # The device matcher at streaming-chunk granularity (16 KiB blocks).
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "in.txt"
+        src.write_bytes(metamorphosis)
+        comp = tmp_path / "out.lz4t"
+        n = codec.encode_file(str(src), str(comp), chunk_blocks=4, engine="tpu")
+        assert n < src.stat().st_size
+        out = tmp_path / "dec.txt"
+        assert codec.decode_file(str(comp), str(out)) == len(metamorphosis)
+        assert out.read_bytes() == metamorphosis
+
+    def test_corrupt_file_raises_typed(self, tmp_path, metamorphosis):
+        codec = LZ4Codec(LZ4Config(mode="fast"))
+        src = tmp_path / "in.txt"
+        src.write_bytes(metamorphosis)
+        comp = tmp_path / "out.lz4t"
+        codec.encode_file(str(src), str(comp))
+        blob = bytearray(comp.read_bytes())
+        blob[len(blob) // 2] ^= 1  # payload content flip
+        bad = tmp_path / "bad.lz4t"
+        bad.write_bytes(bytes(blob))
+        with pytest.raises(fast_frame.FastFormatError):
+            codec.decode_file(str(bad), str(tmp_path / "bad.out"))
+
+
+@needs_native
+class TestNativeChunkAPI:
+    def test_encode_chunk_matches_spec(self, metamorphosis):
+        # One-call chunk compression must emit the same block payloads and
+        # size records as the per-block spec walk.
+        nb = native_backend()
+        body, recs = nb.encode_chunk(metamorphosis, 16)
+        frame = fast_frame.encode_fast(metamorphosis)
+        assert frame[20 + 4 * len(recs) :] == body
+        import struct
+
+        assert list(recs) == list(
+            struct.unpack_from(f"<{len(recs)}I", frame, 20)
+        )
+
+    def test_decode_chunk_roundtrip(self, metamorphosis):
+        nb = native_backend()
+        body, recs = nb.encode_chunk(metamorphosis, 16)
+        assert nb.decode_chunk(body, recs, 16, len(metamorphosis)) == (
+            metamorphosis
+        )
+
+    def test_decode_chunk_rejects_bad_sizes(self, metamorphosis):
+        nb = native_backend()
+        body, recs = nb.encode_chunk(metamorphosis, 16)
+        recs = recs.copy()
+        recs[0] += 1
+        with pytest.raises(RuntimeError):
+            nb.decode_chunk(body, recs, 16, len(metamorphosis))
+
+
+class TestContentChecksum:
+    def test_checksum_field_written(self, metamorphosis):
+        enc = fast_frame.encode_fast(metamorphosis)
+        import struct
+
+        (csum,) = struct.unpack_from("<H", enc, 6)
+        assert csum == fast_frame.content_checksum16(metamorphosis) != 0
+
+    def test_zero_checksum_frames_still_decode(self, metamorphosis):
+        # Frames from older writers carry 0 → verification is skipped.
+        enc = bytearray(fast_frame.encode_fast(metamorphosis))
+        enc[6] = enc[7] = 0
+        assert fast_frame.decode_fast(bytes(enc)) == metamorphosis
+        if native_available():
+            assert (
+                native_backend().decode_fast(bytes(enc), len(metamorphosis))
+                == metamorphosis
+            )
+
+    def test_streaming_checksum_matches_oneshot(self):
+        import zlib
+
+        data = b"stream me " * 5000
+        whole = fast_frame.content_checksum16(data)
+        crc = 0
+        for i in range(0, len(data), 7777):
+            crc = zlib.crc32(data[i : i + 7777], crc)
+        assert fast_frame.fold_checksum16(crc) == whole

@@ -47,13 +47,15 @@ class TestFastFrameRobustness:
             fast_frame.decode_fast(enc[: len(enc) // 2])
 
     def test_every_truncation_point_is_typed(self):
-        # Cutting the frame at ANY byte boundary must yield the typed error.
-        enc = fast_frame.encode_fast(b"the quick brown fox " * 40)
+        # Cutting the frame at ANY strict-prefix byte boundary must RAISE
+        # the typed error (the frame's trailing-bytes check makes every
+        # strict prefix invalid); the full frame must round-trip exactly.
+        data = b"the quick brown fox " * 40
+        enc = fast_frame.encode_fast(data)
+        assert fast_frame.decode_fast(enc) == data
         for cut in range(len(enc)):
-            try:
+            with pytest.raises(fast_frame.FastFormatError):
                 fast_frame.decode_fast(enc[:cut])
-            except fast_frame.FastFormatError:
-                pass
 
     def test_bad_version(self):
         enc = bytearray(fast_frame.encode_fast(b"x" * 100))
@@ -62,17 +64,19 @@ class TestFastFrameRobustness:
             fast_frame.decode_fast(bytes(enc))
 
     def test_corrupt_offset(self):
-        # A match offset pointing before the stream start must be rejected.
-        enc = bytearray(fast_frame.encode_fast(b"abcdabcdabcdabcd" * 50))
-        # Flip payload bytes until the decoder objects (or output differs);
-        # it must never crash with an unhandled exception type.
+        # Flipping any early payload byte must either raise the typed error
+        # or be caught by the content checksum — silent wrong bytes are a
+        # test failure, not a pass.
+        data = b"abcdabcdabcdabcd" * 50
+        enc = bytearray(fast_frame.encode_fast(data))
         for flip in range(24, min(len(enc), 60)):
             mutated = bytearray(enc)
             mutated[flip] ^= 0xFF
             try:
-                fast_frame.decode_fast(bytes(mutated))
+                got = fast_frame.decode_fast(bytes(mutated))
             except fast_frame.FastFormatError:
-                pass
+                continue
+            assert got == data, f"silent corruption at byte {flip}"
 
     def test_native_rejects_corrupt(self):
         from lz4jpeg_tpu.native import native_available, native_backend
@@ -83,6 +87,104 @@ class TestFastFrameRobustness:
         enc[10] ^= 0xFF  # corrupt raw_size
         with pytest.raises(RuntimeError):
             native_backend().decode_fast(bytes(enc), 4000)
+
+
+class TestMutationFuzz:
+    """Seeded byte-mutation fuzz: every decoder must either raise its typed
+    error or return bit-exact bytes — never garbage, never crash with an
+    untyped exception.  The LZ4T content checksum (CRC32 folded to 16 bits
+    in the header) is what makes this assertable: corrupt-but-parseable
+    streams fail verification instead of decoding silently wrong.
+    """
+
+    TRIALS = 300
+
+    @pytest.fixture(scope="class")
+    def lz4t_case(self):
+        rng = np.random.default_rng(0xC0FFEE)
+        data = bytes(rng.integers(32, 127, size=8000, dtype=np.uint8))
+        # Make it compressible so real match sequences exist.
+        data = data[:2000] * 4
+        return data, fast_frame.encode_fast(data)
+
+    def _mutations(self, frame: bytes, seed: int):
+        rng = np.random.default_rng(seed)
+        for _ in range(self.TRIALS):
+            mutated = bytearray(frame)
+            pos = int(rng.integers(0, len(frame)))
+            bit = int(rng.integers(0, 8))
+            mutated[pos] ^= 1 << bit
+            yield bytes(mutated), pos
+
+    def test_lz4t_python_spec(self, lz4t_case):
+        data, frame = lz4t_case
+        for mutated, pos in self._mutations(frame, 1):
+            try:
+                got = fast_frame.decode_fast(mutated)
+            except fast_frame.FastFormatError:
+                continue
+            assert got == data, f"silent corruption (flip at {pos})"
+
+    def test_lz4t_native(self, lz4t_case):
+        from lz4jpeg_tpu.native import native_available, native_backend
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        data, frame = lz4t_case
+        nb = native_backend()
+        for mutated, pos in self._mutations(frame, 2):
+            try:
+                got = nb.decode_fast(mutated, len(data))
+            except RuntimeError:
+                continue
+            assert got == data, f"native silent corruption (flip at {pos})"
+
+    def test_lz4t_device_copy_program(self, lz4t_case):
+        # The device decoder's host framing pass + checksum gate share the
+        # same contract (the resolve itself is bit-verified elsewhere).
+        from lz4jpeg_tpu.ops.lz4t_decode import decode_fast_device
+
+        data, frame = lz4t_case
+        for mutated, pos in self._mutations(frame, 3):
+            if self.TRIALS > 60 and pos % 5:
+                continue  # the device round trip is slow; sample positions
+            try:
+                got = decode_fast_device(mutated)
+            except fast_frame.FastFormatError:
+                continue
+            assert got == data, f"device silent corruption (flip at {pos})"
+
+    def test_parity_frame_never_crashes_untyped(self, golden_compressed):
+        # The parity format is the reference's wire format — no room for a
+        # checksum, so content flips may legally decode to different bytes;
+        # the contract is "typed error or some decode", never IndexError/
+        # struct.error/overflow.
+        for mutated, _pos in self._mutations(golden_compressed, 4):
+            try:
+                decode_frame_bytes(mutated)
+            except FormatError:
+                pass
+
+    def test_jpeg_container_typed_or_shaped(self, rng):
+        from lz4jpeg_tpu.config import JPEGConfig
+        from lz4jpeg_tpu.formats.jpeg_container import pack_container
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        blob = pack_container(pipe.encode(img))
+        fuzz_rng = np.random.default_rng(5)
+        for _ in range(60):  # entropy decode is heavier; fewer trials
+            mutated = bytearray(blob)
+            pos = int(fuzz_rng.integers(0, len(blob)))
+            mutated[pos] ^= 1 << int(fuzz_rng.integers(0, 8))
+            try:
+                enc = unpack_container(bytes(mutated))
+                rec = pipe.decode(enc)
+            except (JPEGContainerError, ValueError, RuntimeError):
+                continue  # typed rejection (container, bounds, native walker)
+            # Lossy pixels may differ; the contract is a well-formed image.
+            assert rec.shape == img.shape and rec.dtype == img.dtype
 
 
 class TestContainerRobustness:
