@@ -285,3 +285,65 @@ def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
         quality=config.quality,
     )
     return pack_container(enc)
+
+
+def multihost_jpeg_decode(
+    container: bytes, config: JPEGConfig = None
+) -> np.ndarray:
+    """Cross-host TJPG decode → the full RGB image, identical on every
+    process and bit-equal to a single-process ``JPEGPipeline.decode``.
+
+    The decode-side mirror of ``multihost_jpeg_encode``: every process
+    entropy-decodes the (replicated) container, takes its contiguous band
+    of 8-pixel MCU rows — bands are independent because the 4:2:2
+    subsampling is horizontal-only — runs the device inverse chain
+    (RLE → dequant → IDCT → YCbCr merge) on its band, and the
+    reconstructed bands gather in band order over the interconnect.  The
+    reference's parallel decode ran per-MCU threads through the same
+    inverse chain and lost the results to its by-value bug
+    (``Algorithms/parallel/JPEG/JPEG.c:1103-1252,1300``).
+    """
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.formats.jpeg_container import unpack_container
+    from lz4jpeg_tpu.models.jpeg import CHANNELS, JPEGPipeline
+    from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    enc = unpack_container(container)
+    config = config or JPEGConfig(
+        precision="fast", entropy="shared", quality=enc.quality
+    )
+    pipeline = JPEGPipeline(config)
+    rle, lengths = pipeline.entropy_decode(enc)
+    bpc, bpr = enc.blocks_per_col, enc.blocks_per_row
+    splits = np.array_split(np.arange(bpc), nproc)
+    my_rows = splits[pid]
+    # Band ids are dense over the processes that actually got rows (tiny
+    # images can leave trailing processes idle).
+    band_count = sum(1 for s in splits if len(s))
+    my_band = sum(1 for s in splits[:pid] if len(s))
+    payload = b""
+    if len(my_rows):
+        r0, r1 = int(my_rows[0]), int(my_rows[-1])
+        band_h = min((r1 + 1) * 8, enc.height) - r0 * 8
+        sl = slice(r0 * bpr, (r1 + 1) * bpr)
+        band = pipeline._inverse(
+            {c: jnp.asarray(np.asarray(rle[c])[sl]) for c in CHANNELS},
+            {c: jnp.asarray(np.asarray(lengths[c])[sl]) for c in CHANNELS},
+            bpc=r1 - r0 + 1,
+            bpr=bpr,
+            height=band_h,
+            width=enc.width,
+            packed16=enc.rle_packed16,
+        )
+        payload = np.asarray(jax.device_get(band)).tobytes()
+    bands = ordered_allgather_payloads(
+        [payload] if len(my_rows) else [],
+        [my_band] if len(my_rows) else [],
+        band_count,
+    )
+    rows = [
+        np.frombuffer(b, np.uint8).reshape(-1, enc.width, 3) for b in bands
+    ]
+    return np.concatenate(rows, axis=0)

@@ -182,6 +182,58 @@ def sharded_fast_decode(frame: bytes, mesh: Mesh) -> bytes:
     return decoded
 
 
+def multihost_fast_decode(frame: bytes) -> bytes:
+    """Cross-host LZ4T decode: the frame's up-front size table gives every
+    process the full framing for free (one prefix sum — no serial header
+    walk), each process builds and resolves the copy program for its
+    strided stripe of blocks on its local devices, and the decoded block
+    bytes gather in original order over the interconnect.
+
+    The multi-host realization of the reference's block-parallel decode
+    intent (``Algorithms/parallel/LZ4/LZ4.c:1105-1222`` — thread per block,
+    accidentally serialized by its create/wait pair, and serially framed at
+    ``:1136-1148``).  Byte-equal to a local ``decode`` of the same frame on
+    every process; verified against the frame's content checksum.  Call
+    under an initialized ``jax.distributed`` runtime; single-process it
+    degrades to a local device decode.
+    """
+    import jax
+
+    from lz4jpeg_tpu.formats.fast_frame import verify_frame_checksum
+    from lz4jpeg_tpu.ops.lz4t_decode import (
+        build_copy_program_fast,
+        depth_to_steps,
+        resolve_blocks,
+    )
+    from lz4jpeg_tpu.parallel.multihost import ordered_allgather_payloads
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    lit, src, raw_sizes, p, max_depth = build_copy_program_fast(frame)
+    num_blocks = lit.shape[0]
+    if num_blocks == 0:
+        return b""
+    mine = list(range(pid, num_blocks, nproc))
+    local_payloads: List[bytes] = []
+    if mine:
+        out = np.asarray(
+            jax.device_get(
+                resolve_blocks(
+                    jnp.asarray(lit[mine]),
+                    jnp.asarray(src[mine]),
+                    depth_to_steps(max_depth),
+                )
+            )
+        )
+        local_payloads = [
+            out[row, : int(raw_sizes[bi])].tobytes()
+            for row, bi in enumerate(mine)
+        ]
+    blocks = ordered_allgather_payloads(local_payloads, mine, num_blocks)
+    decoded = b"".join(blocks)
+    verify_frame_checksum(frame, decoded)
+    return decoded
+
+
 def multihost_fast_encode(data: bytes) -> bytes:
     """Cross-host fast-mode LZ4 encode: every process matches + emits its
     strided slice of the block axis, payloads gather in original block

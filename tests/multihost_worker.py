@@ -74,6 +74,25 @@ def main() -> int:
     with open(f"{out_path}.jpeg.{process_id}", "wb") as f:
         f.write(container)
     print(f"process {process_id}: jpeg OK ({len(container)} bytes)")
+
+    # Cross-process decode, both codecs: strided block stripes (LZ4T) /
+    # contiguous MCU-row bands (JPEG) resolve locally and gather in order;
+    # every process must reconstruct bytes identical to a local decode.
+    from lz4jpeg_tpu.parallel.lz4 import multihost_fast_decode
+
+    assert multihost_fast_decode(frame) == data
+    print(f"process {process_id}: decode OK")
+
+    from lz4jpeg_tpu.formats.jpeg_container import unpack_container
+    from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+    from lz4jpeg_tpu.parallel.jpeg import multihost_jpeg_decode
+
+    cfg = JPEGConfig(precision="fast", entropy="shared")
+    mh_img = multihost_jpeg_decode(container, cfg)
+    local_img = JPEGPipeline(cfg).decode(unpack_container(container))
+    assert mh_img.shape == local_img.shape
+    assert (mh_img == local_img).all()
+    print(f"process {process_id}: jpeg decode OK")
     return 0
 
 

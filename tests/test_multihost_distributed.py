@@ -63,6 +63,8 @@ def test_two_process_ordered_gather():
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "gather OK" in out
         assert "encode OK" in out
+        assert "decode OK" in out
+        assert "jpeg decode OK" in out
 
     # Every process assembled the identical frame, byte-for-byte equal to
     # a local single-process TPU-engine encode of the same input.
