@@ -41,9 +41,7 @@ HBM_PEAK_GBS = 819.0  # TPU v5e
 MXU_PEAK_TFLOPS = 197.0  # TPU v5e bf16
 
 
-def _chain_bench(body, data, chain: int, runs: int = 4) -> float:
-    """Best per-iteration seconds of ``body(x, carry, acc) -> (carry', acc')``
-    chained ``chain`` times in one fenced dispatch."""
+def _make_chained(body, chain: int):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +53,15 @@ def _chain_bench(body, data, chain: int, runs: int = 4) -> float:
         _, s = jax.lax.fori_loop(0, chain, step, (c0, jnp.float32(0)))
         return s
 
-    f = jax.jit(chained)
+    return jax.jit(chained)
+
+
+def _chain_bench(body, data, chain: int, runs: int = 4) -> float:
+    """Best per-iteration seconds of ``body(x, carry, acc) -> (carry', acc')``
+    chained ``chain`` times in one fenced dispatch."""
+    import jax.numpy as jnp
+
+    f = _make_chained(body, chain)
     float(f(data, jnp.int16(0)))  # compile + warm
     best = 1e9
     for _ in range(runs):
@@ -63,6 +69,32 @@ def _chain_bench(body, data, chain: int, runs: int = 4) -> float:
         float(f(data, jnp.int16(0)))
         best = min(best, time.perf_counter() - t0)
     return best / chain
+
+
+def _assert_fence_forces_compaction(body, data, chain: int) -> None:
+    """Anti-DCE regression guard (the round-2 fence-audit lesson, encoded).
+
+    A fence that reduces only the RLE *lengths* lets XLA dead-code-
+    eliminate the whole compaction — the sort (or the Pallas butterfly
+    kernel) simply vanishes from the compiled HLO, and the benchmark
+    silently reports a ~2× hollow number (results/formulation_ab.json::
+    fence_dce_and_rle_round2b).  This guard compiles the exact chained
+    function the bench times and fails loudly unless the compaction op is
+    still present.
+    """
+    import jax.numpy as jnp
+
+    f = _make_chained(body, chain)
+    hlo = f.lower(data, jnp.int16(0)).compile().as_text()
+    n_sorts = hlo.count(" sort(") + hlo.count("=sort(")
+    n_custom = hlo.count("custom-call")
+    if n_sorts + n_custom == 0:
+        raise RuntimeError(
+            "DCE guard: the compiled RLE chain contains no sort and no "
+            "custom-call — the fence no longer forces the compaction and "
+            "every number this bench would print is hollow.  Fix the "
+            "fence (reduce the FULL packed output, not just lengths)."
+        )
 
 
 def run_jpeg_forward_roofline(
@@ -146,10 +178,11 @@ def run_jpeg_forward_roofline(
     # dead-code-eliminate the bitonic sort and the pack — the r1 artifact
     # did exactly that and under-reported this stage ~3× (the fence A/B is
     # committed in results/formulation_ab.json, profiles/profile_fence_dce
-    # .py).  Summing the packed output forces every element.
-    from lz4jpeg_tpu.ops.rle import rle_encode_packed16
-
-    rle_fn = rle_encode_packed16 if pipeline._pack16 else rle_encode_batched
+    # .py).  Summing the packed output forces every element, and the
+    # compiled-HLO guard below makes the lesson a hard failure.
+    rle_fn = (
+        pipeline._rle_pack16_fn if pipeline._pack16 else rle_encode_batched
+    )
 
     def rle_body(zs, c, s):
         for z in zs:
@@ -163,6 +196,7 @@ def run_jpeg_forward_roofline(
         return c, s
 
     print("timing rle ...", flush=True)
+    _assert_fence_forces_compaction(rle_body, zz, chain)
     stages["rle"] = {
         "measured_s": _chain_bench(rle_body, zz, chain),
         "flops": 0,  # compare/select network — not MXU work
@@ -171,6 +205,44 @@ def run_jpeg_forward_roofline(
         # are excluded by the read-once/write-once convention, which is
         # why this stage's SoL fraction is low.
         "bytes": 8 * npix + (4 * npix if pipeline._pack16 else 16 * npix),
+    }
+
+    # -- bare-sort ceiling at the production shapes ----------------------
+    # The RLE stage is built on lax.sort (chroma) / the Pallas butterfly
+    # (luma); a bare 1-operand sort at the same shapes is the platform's
+    # achievable ceiling for the sort formulation — report the stage
+    # against it, not only against HBM bytes (VERDICT r2 item 1;
+    # profiles/profile_sort_ceiling.py is the standalone sweep).
+    lum_rows = npix // 64
+    sort_times = {}
+    for tag, rows, length in (
+        ("lum", lum_rows, 64), ("chroma", lum_rows, 32),
+    ):
+        xs = jnp.asarray(
+            np.random.default_rng(1).integers(
+                -511, 512, size=(rows, length)
+            ).astype(np.int32)
+        )
+
+        def sort_body(v, c, s):
+            (out,) = jax.lax.sort(
+                (v ^ c.astype(jnp.int32),), dimension=1, num_keys=1
+            )
+            s = s + jnp.sum(out.astype(jnp.float32))
+            return (s % 2).astype(jnp.int16), s
+
+        print(f"timing bare sort {tag} ...", flush=True)
+        sort_times[tag] = _chain_bench(sort_body, xs, chain)
+    sort_ceiling_s = sort_times["lum"] + 2 * sort_times["chroma"]
+    stages["sort_ceiling"] = {
+        "measured_s": sort_ceiling_s,
+        "flops": 0,
+        "bytes": 8 * npix + 4 * npix,  # same I/O convention as the stage
+        "note": (
+            "bare 1-op lax.sort at the production shapes (lum "
+            f"{lum_rows}x64 + 2 chroma {lum_rows}x32) — the sort-"
+            "formulation ceiling the RLE stage is judged against"
+        ),
     }
 
     # -- whole forward chain (what bench.py times) ------------------------
@@ -252,6 +324,10 @@ def run_jpeg_forward_roofline(
         "stage_sum_s": stage_sum,
         "fusion_gap_s": stages["full_forward"]["measured_s"] - stage_sum,
         "limiting_stage": limiter,
+        # How close the RLE stage runs to a bare sort at its own shapes —
+        # ≥1.0 means the production path beats the sort formulation's
+        # ceiling outright (the Pallas butterfly does on luma).
+        "rle_vs_sort_ceiling": sort_ceiling_s / stages["rle"]["measured_s"],
         "full_forward_mpix_s": npix / 1e6 / stages["full_forward"]["measured_s"],
     }
 
@@ -259,7 +335,7 @@ def run_jpeg_forward_roofline(
           f"({npix/1e6:.0f} MPix/iter) on {result['backend']}")
     print(f"{'stage':14s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
           f"{'SoL ms':>7s} {'SoL%':>6s}  bound")
-    for name in (*device_stages, "full_forward", "readback_d2h"):
+    for name in (*device_stages, "sort_ceiling", "full_forward", "readback_d2h"):
         st = stages[name]
         sol_ms = f"{st['speed_of_light_s']*1e3:7.2f}" if st["speed_of_light_s"] else "      -"
         sol_pc = f"{st['sol_fraction']*100:5.1f}%" if st["sol_fraction"] else "     -"
@@ -269,7 +345,8 @@ def run_jpeg_forward_roofline(
         )
     print(f"limiting stage: {limiter}; "
           f"fusion gap {result['fusion_gap_s']*1e3:+.2f} ms; "
-          f"forward {result['full_forward_mpix_s']:.0f} MPix/s")
+          f"rle at {result['rle_vs_sort_ceiling']*100:.0f}% of bare-sort "
+          f"ceiling; forward {result['full_forward_mpix_s']:.0f} MPix/s")
 
     if output:
         with open(output, "w") as f:

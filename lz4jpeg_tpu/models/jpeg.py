@@ -181,6 +181,12 @@ class JPEGPipeline:
             and config.entropy == "shared"
             and all(int(np.min(t)) >= 3 for t in self._tables.values())
         )
+        # RLE compaction engine for the pack16 path: on TPU the 64-lane
+        # (luma) blocks run the Pallas inverse-butterfly kernel
+        # (ops/pallas_rle.py, 1.47× the XLA sort at the production shape,
+        # bit-identical); 32-lane chroma blocks measured at parity and
+        # keep the sort, as does every non-TPU backend.
+        self._pallas_rle = self._pack16 and jax.default_backend() == "tpu"
         self._forward = jax.jit(self._forward_impl)
         self._inverse = jax.jit(
             self._inverse_impl,
@@ -237,7 +243,7 @@ class JPEGPipeline:
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
             if self._pack16:
-                out[name] = rle_encode_packed16(zz.astype(jnp.int16))
+                out[name] = self._rle_pack16_fn(zz.astype(jnp.int16))
             else:
                 pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
                 out[name] = (
@@ -284,6 +290,15 @@ class JPEGPipeline:
             self.entropy_encode(enc)
         return enc
 
+    def _rle_pack16_fn(self, zz_i16: jnp.ndarray):
+        """Production pack16 compaction: Pallas butterfly for 64-lane
+        blocks on TPU, XLA sort-diff otherwise (bit-identical outputs)."""
+        if self._pallas_rle and zz_i16.shape[-1] == 64:
+            from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas
+
+            return rle_encode_packed16_pallas(zz_i16)
+        return rle_encode_packed16(zz_i16)
+
     def _forward_rle_impl(self, rgb: jnp.ndarray):
         """Forward returning only what ``encode`` ships to the host: RLE
         pairs as int16 + lengths.  Host↔device bandwidth is the bottleneck
@@ -291,20 +306,24 @@ class JPEGPipeline:
         on device and the pairs travel at half width — counts are ≤64 and
         quantized coefficients are bounded by ±(8·128)/min(table) ≈ ±341,
         both well inside int16."""
-        out = self._forward_impl(rgb)
         if self._pack16:
-            # Straight from the zz stream via the run arrays — the shared
-            # sort dedupes with _forward_impl's RLE under CSE, and the
-            # unused interleaved pairs are dead-code-eliminated.  (Packing
-            # from v["rle"] instead costs ~1.1 ms/frame in strided
-            # even/odd slices, see ops/rle.py.)
-            return {
-                c: (
-                    rle_encode_packed16(v["zz"].astype(jnp.int16))[0],
-                    v["rle_lengths"].astype(jnp.int32),
-                )
-                for c, v in out.items()
-            }
+            # Straight from the zz stream, skipping _forward_impl's
+            # interleaved-pair RLE entirely (the pairs would be dead code;
+            # computing packed16 from them instead costs ~1.1 ms/frame in
+            # strided even/odd slices, see ops/rle.py).
+            dtype = self.config.dtype
+            fused = self.config.precision == "fast"
+            y, cr, cb = rgb_to_ycbcr(rgb, dtype)
+            lum, r, b = split_mcus(
+                y, chroma_subsample_422(cr), chroma_subsample_422(cb)
+            )
+            out = {}
+            for name, tiles in (("lum", lum), ("r", r), ("b", b)):
+                zz = forward_channel(tiles, name, self._tables, dtype, fused)
+                packed, lengths = self._rle_pack16_fn(zz.astype(jnp.int16))
+                out[name] = (packed, lengths.astype(jnp.int32))
+            return out
+        out = self._forward_impl(rgb)
         return {
             c: (v["rle"].astype(jnp.int16), v["rle_lengths"].astype(jnp.int32))
             for c, v in out.items()

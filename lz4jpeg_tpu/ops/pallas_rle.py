@@ -1,0 +1,201 @@
+"""Pallas TPU kernel for the batched RLE compaction — the shipped fast path.
+
+History (the committed measurement trail): the RLE compaction is the JPEG
+forward chain's limiting stage.  The production XLA formulation is one
+``lax.sort`` (``ops/rle.py``) — but an honest bare-sort measurement
+(``profiles/profile_sort_ceiling.py``) shows the sort network itself runs
+at only ~75 GB/s effective I/O at the production (2M, 64) shape: its ~21
+compare-exchange stages round-trip HBM.  A round-1 Pallas candidate
+(``profiles/pallas_rle.py``) was retired against a 6.3 ms sort baseline
+that the round-2 fence audit later proved DCE-hollow (the honest number is
+21.4 ms, ``results/formulation_ab.json::fence_dce_and_rle_round2b``) — so
+the candidate was re-opened in round 3, rebuilt to emit the packed-u16
+production layout directly, and now ships.
+
+The algorithm (Hilewitz & Lee's PEX concentrator, 6 stages instead of 21):
+run starts already occur in ascending position order, so compacting them
+to the front is a monotone concentration, routable collision-free on an
+inverse butterfly in ``log2(L)`` stages — LSB of the per-element shift
+distance first.  XLA materializes every stage to HBM (measured 1.5× slower
+than the sort, ``formulation_ab.json::log_shift_compaction``); this kernel
+runs all stages in VMEM with ONE packed int32 word per element, so HBM
+traffic is one read of the coefficients + one write of the packed pairs —
+the stage's algorithmic minimum.
+
+Word layout (bits):  0..5  remaining shift distance (< 64)
+                     6..12 original position within segment (< 128)
+                    13..22 value + 511 (10 bits; |value| ≤ 511 — the same
+                           precondition as the pack16 layout itself)
+                    23     valid (element is a run start)
+
+Rows are packed ``128 // L`` zigzag segments per 128-lane vector row so
+the VPU runs at full lane occupancy (L = 64 for 8×8 luma MCUs, 32 for the
+8×4 chroma blocks; reference stage semantics in
+``Algorithms/sequential/JPEG/JPEG.c:767-809``).
+
+Outputs are bit-identical to ``ops/rle.py::rle_encode_packed16``
+(tests/test_pallas_rle.py asserts this in interpret mode and on devices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lz4jpeg_tpu.ops.rle import PACK16_VALUE_BIAS
+
+BLOCK_R = 512  # 128-lane rows per grid step (~256 KiB VMEM per operand)
+LANES = 128
+
+_POS_SH = 6
+_VAL_SH = 13
+_VALID = 1 << 23
+
+
+def _rle_pack16_kernel(x_ref, lt_ref, packed_ref, runs_ref, *, seg: int):
+    """One (BLOCK_R, 128) tile → packed u16 pairs + per-segment run counts.
+
+    Everything happens on one int32 word per element; the only cross-lane
+    primitives are ``pltpu.roll`` (Mosaic's circular lane shift — wrapped
+    lanes are always masked off by the segment-boundary conditions) and
+    one MXU matmul against the block-lower-triangular constant ``lt_ref``
+    that computes the segment-local prefix sum of run starts (exact: 0/1
+    operands, sums ≤ 128, bf16 multiplies with f32 accumulation).  The
+    matmul replaces a log2(seg)-stage Hillis-Steele roll chain — rolls are
+    what bound this kernel on the VPU.
+    """
+    nbits = seg.bit_length() - 1
+    x = x_ref[:].astype(jnp.int32)
+    shape = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+    m = lane & (seg - 1)  # position within the zigzag segment
+
+    prev = pltpu.roll(x, shift=1, axis=1)
+    starts = (m == 0) | (x != prev)
+
+    # Segment-local inclusive prefix sum of starts → run rank per element,
+    # as one 128×128 MXU contraction instead of log2(seg) lane rolls.
+    c = jnp.dot(
+        starts.astype(jnp.bfloat16),
+        lt_ref[:],
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    rank = c - 1
+
+    # One combined word: remaining shift distance (m - rank), original
+    # position, biased value, valid flag.  Non-starts are holes.
+    word = jnp.where(
+        starts,
+        (m - rank) | (m << _POS_SH) | ((x + 511) << _VAL_SH) | _VALID,
+        0,
+    )
+
+    # Inverse-butterfly concentration, LSB of the distance first: stage b
+    # moves elements left by 2^b when bit b of their remaining distance is
+    # set.  Collision-free because ranks (and therefore post-stage
+    # positions) are strictly increasing across valid elements.
+    for b in range(nbits):
+        step = 1 << b
+        incoming = pltpu.roll(word, shift=LANES - step, axis=1)
+        ok = m < (seg - step)  # no import across the segment boundary
+        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
+        depart = ((word & _VALID) != 0) & ((word & step) != 0)
+        word = jnp.where(
+            arrive, incoming - step, jnp.where(depart, 0, word)
+        )
+
+    valid = (word & _VALID) != 0
+    key = jnp.where(valid, (word >> _POS_SH) & (LANES - 1), seg)
+    val = ((word >> _VAL_SH) & 0x3FF) - 511
+    # Run k's count is the gap to run k+1's start (segment end for the
+    # last run); the wrapped lane at m == seg-1 is overridden.
+    nxt = jnp.where(
+        m == seg - 1, seg, pltpu.roll(key, shift=LANES - 1, axis=1)
+    )
+    counts = jnp.where(valid, nxt - key, 0)
+    packed = (jnp.maximum(counts - 1, 0) << 10) | (
+        val + PACK16_VALUE_BIAS
+    )
+    packed_ref[:] = jnp.where(counts > 0, packed, 0).astype(jnp.int16)
+
+    # Per-segment run totals (for the lengths side channel): the rank at
+    # each segment's last lane + 1, summed per segment id.
+    segs_per_row = LANES // seg
+    seg_runs = []
+    for s_i in range(segs_per_row):
+        in_seg = (lane >> nbits) == s_i
+        seg_runs.append(
+            jnp.sum(
+                jnp.where(in_seg, starts.astype(jnp.int32), 0),
+                axis=1,
+                keepdims=True,
+            )
+        )
+    runs_ref[:] = jnp.concatenate(seg_runs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "interpret"))
+def _rle_pack16_call(x2: jnp.ndarray, *, seg: int, interpret: bool):
+    rows = x2.shape[0]
+    segs_per_row = LANES // seg
+    grid = (pl.cdiv(rows, BLOCK_R),)
+    spec = pl.BlockSpec(
+        (BLOCK_R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    runs_spec = pl.BlockSpec(
+        (BLOCK_R, segs_per_row), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    # Block-lower-triangular inclusive prefix matrix: LT[j, i] = 1 when
+    # j ≤ i within the same segment (replicated across grid steps).
+    j_ids = jnp.arange(LANES)[:, None]
+    i_ids = jnp.arange(LANES)[None, :]
+    lt = (
+        (j_ids <= i_ids) & ((j_ids // seg) == (i_ids // seg))
+    ).astype(jnp.bfloat16)
+    lt_spec = pl.BlockSpec(
+        (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_rle_pack16_kernel, seg=seg),
+        grid=grid,
+        in_specs=[spec, lt_spec],
+        out_specs=(spec, runs_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((rows, segs_per_row), jnp.int32),
+        ),
+        interpret=interpret,
+    )(x2, lt)
+
+
+def rle_encode_packed16_pallas(
+    values: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ``ops/rle.py::rle_encode_packed16`` (bit-identical):
+    (N, L) int blocks → ((N, L) packed uint16, (N,) int32 symbol lengths).
+
+    L must be a power of two ≤ 128; values must satisfy |v| ≤ 511 (the
+    pack16 precondition — JPEG quantized coefficients always do for the
+    quality range the container accepts; callers fall back to the sort
+    formulation otherwise, exactly as with the XLA pack16 path).
+    """
+    n, length = values.shape
+    if length & (length - 1) or length > LANES:
+        raise ValueError(
+            f"segment length {length} must be a power of two ≤ {LANES}"
+        )
+    segs_per_row = LANES // length
+    pad = (-n) % segs_per_row
+    x = values.astype(jnp.int32)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, length), jnp.int32)])
+    packed2, runs2 = _rle_pack16_call(
+        x.reshape(-1, LANES), seg=length, interpret=interpret
+    )
+    packed = packed2.astype(jnp.uint16).reshape(-1, length)[:n]
+    lengths = 2 * runs2.reshape(-1)[: n]
+    return packed, lengths
