@@ -103,7 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
         "suite",
         choices=[
             "headline", "lz4", "lz4-device", "lz4t-decode", "jpeg",
-            "jpeg-inverse", "scaling", "roofline", "entropy-ab",
+            "jpeg-inverse", "jpeg-perblock", "scaling", "roofline",
+            "entropy-ab",
         ],
         default="headline",
     )
@@ -271,6 +272,7 @@ def _cmd_bench(args) -> int:
     from lz4jpeg_tpu.bench.experiments import (
         run_jpeg_experiment,
         run_jpeg_inverse_device_experiment,
+        run_jpeg_perblock_experiment,
         run_lz4_device_experiment,
         run_lz4_experiment,
         run_lz4t_decode_device_experiment,
@@ -284,6 +286,8 @@ def _cmd_bench(args) -> int:
         run_lz4t_decode_device_experiment(runs=args.runs, output=args.output)
     elif args.suite == "jpeg-inverse":
         run_jpeg_inverse_device_experiment(runs=args.runs, output=args.output)
+    elif args.suite == "jpeg-perblock":
+        run_jpeg_perblock_experiment(runs=args.runs, output=args.output)
     else:
         run_jpeg_experiment(runs=args.runs, output=args.output)
     return 0

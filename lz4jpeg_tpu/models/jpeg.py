@@ -473,15 +473,31 @@ class JPEGPipeline:
                     packed, nbits = pack_symbols(symbols, codebook)
                 enc.shared_streams[c] = (codebook, packed, nbits)
         else:  # per_block parity mode
-            enc.per_block_bits = {c: [] for c in CHANNELS}
+            from lz4jpeg_tpu.native import native_available, native_backend
+
+            native = native_backend() if native_available() else None
+            enc.per_block_bits = {}
             for c in CHANNELS:
-                for i in range(enc.num_blocks):
-                    n = int(enc.rle_lengths[c][i])
-                    rle_ints = [int(v) for v in enc.rle[c][i, :n]]
-                    bits, _root, _codes = jpeg_oracle.encode_huffman_oracle(
-                        rle_ints
+                bits_list = None
+                if native is not None:
+                    # One C++ pass over all blocks (quirk-exact twin of the
+                    # oracle heap; tested bitstring-identical) — the Python
+                    # loop below runs the interpreted heap ~49k times at
+                    # 2048² and cannot reach the reference's largest sizes.
+                    bits_list = native.huff_per_block(
+                        np.asarray(enc.rle[c], np.int32),
+                        np.asarray(enc.rle_lengths[c], np.int32),
                     )
-                    enc.per_block_bits[c].append(bits)
+                if bits_list is None:
+                    bits_list = []
+                    for i in range(enc.num_blocks):
+                        n = int(enc.rle_lengths[c][i])
+                        rle_ints = [int(v) for v in enc.rle[c][i, :n]]
+                        bits, _root, _codes = (
+                            jpeg_oracle.encode_huffman_oracle(rle_ints)
+                        )
+                        bits_list.append(bits)
+                enc.per_block_bits[c] = bits_list
         return enc
 
     def entropy_decode(self, enc: JPEGEncoded) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:

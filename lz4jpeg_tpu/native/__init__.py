@@ -113,6 +113,12 @@ class NativeBackend:
         lib.huff_pack_pairs16.argtypes = lib.huff_pack_pairs.argtypes
         lib.huff_unpack_pairs16.restype = ctypes.c_int64
         lib.huff_unpack_pairs16.argtypes = lib.huff_unpack_pairs.argtypes
+        lib.huff_per_block_ascii.restype = ctypes.c_int64
+        lib.huff_per_block_ascii.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -421,6 +427,31 @@ class NativeBackend:
         if n < 0:
             return None
         return out_pairs, out_lengths
+
+    def huff_per_block(self, pairs, lengths):
+        """Parity-mode per-block Huffman (reference JPEG.c:844-1097 via the
+        oracle's quirk-exact semantics): padded (N, W) int32 RLE symbols +
+        (N,) valid lengths → list of N ASCII '0'/'1' bitstrings, one C++
+        pass.  Returns None when a symbol is outside the native range (the
+        caller then falls back to the Python oracle loop)."""
+        import numpy as np
+
+        pairs = np.ascontiguousarray(pairs, np.int32)
+        lengths = np.ascontiguousarray(lengths, np.int32)
+        n, w = pairs.shape
+        # ≤ ~32 bits per symbol is the practical worst case; headroom ×2.
+        cap = int(lengths.astype(np.int64).sum()) * 64 + 1024
+        out = ctypes.create_string_buffer(cap)
+        counts = np.zeros(n, np.int64)
+        total = self._lib.huff_per_block_ascii(
+            pairs.ctypes.data, lengths.ctypes.data, n, w,
+            out, cap, counts.ctypes.data,
+        )
+        if total < 0:
+            return None
+        buf = out.raw[:total].decode("ascii")
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return [buf[offsets[i] : offsets[i + 1]] for i in range(n)]
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
         out = ctypes.create_string_buffer(2 * len(data) + 65536)

@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -1079,6 +1080,171 @@ int64_t huff_unpack_pairs16(const uint8_t* packed, uint64_t nbits,
   }
   if (acc_len != 0 || have_count) return kErrBadInput;
   return n_sym;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-block parity-mode Huffman (reference JPEG.c:844-1097 semantics).
+//
+// Exact behavioral twin of oracle/jpeg_oracle.py::encode_huffman_oracle —
+// first-seen-order frequency pairs (calculate_frequency, JPEG.c:864-885),
+// the array min-heap with its missing sift-up on re-insertion
+// (build_heap/build_huffman_tree, :913-961; tree shapes depend on the
+// quirk), and DFS left='0'/right='1' code assignment (:963-982).  Emits the
+// same ASCII '0'/'1' bitstrings the oracle produces, so the parity-mode
+// pipeline scales to the reference's largest experiment sizes without the
+// interpreted per-block heap loop (VERDICT r2 item 7).
+// ---------------------------------------------------------------------------
+
+namespace perblock {
+
+struct HNode {
+  long long count;
+  int value;  // symbol + 1000, or -1 for internal
+  int left;   // pool indices, -1 = none
+  int right;
+};
+
+constexpr int kSymOffset = 8192;   // lookup table offset for symbol values
+constexpr int kInternal = INT32_MIN;  // internal-node marker
+constexpr int kSymRange = 32768;
+
+// Recursive sift-down by strict count comparison (JPEG.c heapify).
+inline void heapify(std::vector<HNode>& pool, std::vector<int>& heap,
+                    int size, int i) {
+  int smallest = i;
+  int l = 2 * i + 1, r = 2 * i + 2;
+  if (l < size && pool[heap[l]].count < pool[heap[smallest]].count)
+    smallest = l;
+  if (r < size && pool[heap[r]].count < pool[heap[smallest]].count)
+    smallest = r;
+  if (smallest != i) {
+    std::swap(heap[i], heap[smallest]);
+    heapify(pool, heap, size, smallest);
+  }
+}
+
+// DFS code assignment; appends the block's ASCII bits for each symbol via
+// a per-symbol code table.  Returns false on out-of-range symbols.
+inline bool encode_block(const int32_t* symbols, int64_t n,
+                         std::vector<HNode>& pool, std::vector<int>& heap,
+                         std::vector<int>& seen, std::vector<long long>& cnt,
+                         std::vector<std::string>& codes,
+                         std::string& out_bits) {
+  if (n <= 0) return true;  // empty block: empty bitstring (like the oracle)
+  pool.clear();
+  heap.clear();
+  // First-seen-order frequency pairs.
+  std::vector<int> order;
+  for (int64_t k = 0; k < n; ++k) {
+    long long v = static_cast<long long>(symbols[k]) + 1000;
+    // v == -1 is the reference's internal-node marker — its tree walk is
+    // undefined there (symbol -1001); refuse rather than diverge.
+    if (v == -1 || v < -kSymOffset + 1 || v >= kSymRange - kSymOffset)
+      return false;
+    int idx = static_cast<int>(v) + kSymOffset;
+    if (seen[idx] < 0) {
+      seen[idx] = static_cast<int>(order.size());
+      order.push_back(idx);
+      cnt[idx] = 0;
+    }
+    ++cnt[idx];
+  }
+  for (int idx : order) {
+    HNode nnode;
+    nnode.count = cnt[idx];
+    nnode.value = idx - kSymOffset;
+    nnode.left = nnode.right = -1;
+    heap.push_back(static_cast<int>(pool.size()));
+    pool.push_back(nnode);
+  }
+  int size = static_cast<int>(heap.size());
+  for (int i = size / 2 - 1; i >= 0; --i) heapify(pool, heap, size, i);
+  while (size > 1) {
+    // left = copy of heap[0]; pop.
+    int left = static_cast<int>(pool.size());
+    pool.push_back(pool[heap[0]]);
+    --size;
+    heap[0] = heap[size];
+    heapify(pool, heap, size, 0);
+    int right = static_cast<int>(pool.size());
+    pool.push_back(pool[heap[0]]);
+    --size;
+    heap[0] = heap[size];
+    heapify(pool, heap, size, 0);
+    HNode parent;
+    parent.count = pool[left].count + pool[right].count;
+    parent.value = kInternal;  // sentinel no symbol+1000 can reach
+    parent.left = left;
+    parent.right = right;
+    int pi = static_cast<int>(pool.size());
+    pool.push_back(parent);
+    if (size < static_cast<int>(heap.size()))
+      heap[size] = pi;
+    else
+      heap.push_back(pi);
+    ++size;
+    // The reference's re-insert "heapify" runs at the new LEAF index — a
+    // sift-down there is a no-op; reproduced faithfully (the quirk).
+    heapify(pool, heap, size, size - 1);
+  }
+  // DFS code assignment (iterative to bound stack depth).
+  for (int idx : order) codes[idx].clear();
+  struct Frame { int node; std::string prefix; };
+  std::vector<Frame> stack;
+  stack.push_back({heap[0], std::string()});
+  while (!stack.empty()) {
+    Frame f = stack.back();
+    stack.pop_back();
+    const HNode& nd = pool[f.node];
+    if (nd.value != kInternal) {
+      codes[nd.value + kSymOffset] = f.prefix;
+      continue;
+    }
+    // DFS order: left fully before right → push right first.
+    stack.push_back({nd.right, f.prefix + "1"});
+    stack.push_back({nd.left, f.prefix + "0"});
+  }
+  for (int64_t k = 0; k < n; ++k)
+    out_bits += codes[static_cast<int>(symbols[k]) + 1000 + kSymOffset];
+  for (int idx : order) seen[idx] = -1;  // reset for the next block
+  return true;
+}
+
+}  // namespace perblock
+
+extern "C" {
+
+// Batched per-block parity Huffman: `pairs` is the padded (N, pad_width)
+// int32 RLE symbol matrix, `lengths` the valid symbol count per block.
+// Emits each block's ASCII '0'/'1' bitstring concatenated into `out`
+// (capacity `cap`) with per-block character counts in `bit_counts`.
+// Returns total characters written, or <0 (kErrOutputFull on capacity,
+// kErrBadInput on out-of-range symbols → caller falls back to Python).
+int64_t huff_per_block_ascii(const int32_t* pairs, const int32_t* lengths,
+                             int64_t n_blocks, int64_t pad_width,
+                             char* out, size_t cap, int64_t* bit_counts) {
+  std::vector<perblock::HNode> pool;
+  std::vector<int> heap;
+  std::vector<int> seen(perblock::kSymRange, -1);
+  std::vector<long long> cnt(perblock::kSymRange, 0);
+  std::vector<std::string> codes(perblock::kSymRange);
+  std::string bits;
+  size_t w = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    bits.clear();
+    int64_t n = lengths[b];
+    if (n < 0 || n > pad_width) return kErrBadInput;
+    if (!perblock::encode_block(pairs + b * pad_width, n, pool, heap, seen,
+                                cnt, codes, bits))
+      return kErrBadInput;
+    if (w + bits.size() > cap) return kErrOutputFull;
+    std::memcpy(out + w, bits.data(), bits.size());
+    w += bits.size();
+    bit_counts[b] = static_cast<int64_t>(bits.size());
+  }
+  return static_cast<int64_t>(w);
 }
 
 }  // extern "C"

@@ -139,3 +139,48 @@ class TestUnpackPairs:
             native_backend().huff_unpack_pairs(
                 packed, 8 * len(packed) + 64, cb, 64, pairs.shape[0], pairs.shape[1]
             )
+
+
+class TestPerBlockHuffman:
+    """Native per-block parity Huffman must reproduce the oracle's quirky
+    bitstrings exactly (heap without sift-up, first-seen frequency order,
+    DFS '0'/'1' codes — JPEG.c:844-1097)."""
+
+    def test_matches_oracle_random(self, rng):
+        from lz4jpeg_tpu.native import native_available, native_backend
+        from lz4jpeg_tpu.oracle import jpeg_oracle
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        nb = native_backend()
+        N, W = 120, 128
+        pairs = np.zeros((N, W), np.int32)
+        lengths = rng.integers(1, W + 1, size=N).astype(np.int32)
+        for i in range(N):
+            n = lengths[i]
+            pairs[i, :n] = rng.integers(-999, 1025, size=n)
+            if i % 3 == 0:
+                pairs[i, :n] = rng.integers(1, 5, size=n)
+            if i % 7 == 0:
+                lengths[i] = 1  # single-symbol block → empty-code quirk
+        got = nb.huff_per_block(pairs, lengths)
+        for i in range(N):
+            ref, _root, _codes = jpeg_oracle.encode_huffman_oracle(
+                [int(v) for v in pairs[i, : lengths[i]]]
+            )
+            assert got[i] == ref, f"block {i}"
+
+    def test_out_of_domain_declines(self):
+        from lz4jpeg_tpu.native import native_available, native_backend
+
+        if not native_available():
+            pytest.skip("native backend not built")
+        # symbol -1001 collides with the reference's internal marker (its
+        # tree walk is undefined there) — the native pass must decline.
+        bad = np.full((1, 4), -1001, np.int32)
+        assert (
+            native_backend().huff_per_block(
+                bad, np.asarray([4], np.int32)
+            )
+            is None
+        )
