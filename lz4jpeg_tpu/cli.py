@@ -102,8 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument(
         "suite",
         choices=[
-            "headline", "lz4", "lz4-device", "lz4t-decode", "jpeg",
-            "jpeg-inverse", "jpeg-perblock", "scaling", "roofline",
+            "headline", "lz4", "lz4-device", "lz4-file", "lz4t-decode",
+            "jpeg", "jpeg-inverse", "jpeg-perblock", "scaling", "roofline",
             "entropy-ab",
         ],
         default="headline",
@@ -275,6 +275,7 @@ def _cmd_bench(args) -> int:
         run_jpeg_perblock_experiment,
         run_lz4_device_experiment,
         run_lz4_experiment,
+        run_lz4_file_experiment,
         run_lz4t_decode_device_experiment,
     )
 
@@ -282,6 +283,8 @@ def _cmd_bench(args) -> int:
         run_lz4_experiment(runs=args.runs, output=args.output)
     elif args.suite == "lz4-device":
         run_lz4_device_experiment(runs=args.runs, output=args.output)
+    elif args.suite == "lz4-file":
+        run_lz4_file_experiment(runs=args.runs, output=args.output)
     elif args.suite == "lz4t-decode":
         run_lz4t_decode_device_experiment(runs=args.runs, output=args.output)
     elif args.suite == "jpeg-inverse":
