@@ -314,9 +314,37 @@ class JPEGPipeline:
             dtype = self.config.dtype
             fused = self.config.precision == "fast"
             y, cr, cb = rgb_to_ycbcr(rgb, dtype)
-            lum, r, b = split_mcus(
-                y, chroma_subsample_422(cr), chroma_subsample_422(cb)
-            )
+            cr_sub = chroma_subsample_422(cr)
+            cb_sub = chroma_subsample_422(cb)
+            h, w = rgb.shape[:2]
+            if self._pallas_rle and h % 8 == 0 and w % 1024 == 0:
+                # Plane-view forward: the fused einsum contracts straight
+                # over the plane (no 8×8 tile relayout) and emits block
+                # positions along the middle axis — the exact layout the
+                # sublane-butterfly RLE kernel consumes, which transposes
+                # back to block-row-major in VMEM.  Bit-identical to the
+                # tile path (ops/fused.py docstring); shapes where a
+                # channel's block-column count is not a 128 multiple fall
+                # through to the tile path below.
+                from lz4jpeg_tpu.ops.fused import fused_forward_plane_jnp
+                from lz4jpeg_tpu.ops.pallas_rle import (
+                    rle_encode_packed16_pallas_kt,
+                )
+
+                out = {}
+                for name, plane in (
+                    ("lum", y), ("r", cr_sub), ("b", cb_sub)
+                ):
+                    tw = _CHANNEL_SHAPES[name][1]
+                    zz_kt = fused_forward_plane_jnp(
+                        plane, self._tables[name], tw, dtype
+                    )
+                    packed, lengths = rle_encode_packed16_pallas_kt(
+                        zz_kt.astype(jnp.int16)
+                    )
+                    out[name] = (packed, lengths.astype(jnp.int32))
+                return out
+            lum, r, b = split_mcus(y, cr_sub, cb_sub)
             out = {}
             for name, tiles in (("lum", lum), ("r", r), ("b", b)):
                 zz = forward_channel(tiles, name, self._tables, dtype, fused)

@@ -116,6 +116,36 @@ def fused_forward_jnp(
     return jnp.trunc(ratio)
 
 
+def fused_forward_plane_jnp(
+    plane: jnp.ndarray, table: np.ndarray, width: int,
+    dtype=jnp.float32, snap_eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Plane-view fused forward: (H, Wp) uint8 channel plane →
+    (bh, 8·width, bw) quantized zigzag coefficients, WITHOUT the 8×8 tile
+    relayout (``split_mcus``) — the einsum contracts straight over the
+    plane's (row-in-block, col-in-block) view, and the output keeps block
+    positions along the middle axis: exactly the transposed layout the
+    sublane-butterfly RLE kernel consumes
+    (``ops/pallas_rle.py::rle_encode_packed16_pallas_kt``).
+
+    Bit-identical to ``fused_forward_jnp`` of the relayouted tiles
+    (verified on-chip at 256²/512² across all channels, 0/655k mismatched
+    coefficients — the r2 ``B2`` formulation, now with a consumer for its
+    deferred transpose).  Requires H % 8 == 0 and Wp % width == 0.
+    """
+    m, off = forward_basis(width, 8, _table_key(table))
+    h, wp = plane.shape
+    bh, bw = h // 8, wp // width
+    x = plane.reshape(bh, 8, bw, width).astype(dtype)
+    mt = jnp.asarray(m.reshape(8 * width, 8, width), dtype)
+    ratio = jnp.einsum(
+        "krc,arbc->akb", mt, x, precision="highest"
+    ) - jnp.asarray(off, dtype)[None, :, None]
+    nearest = jnp.round(ratio)
+    ratio = jnp.where(jnp.abs(ratio - nearest) <= snap_eps, nearest, ratio)
+    return jnp.trunc(ratio)
+
+
 def fused_inverse_jnp(
     zz: jnp.ndarray, table: np.ndarray, width: int, height: int,
     dtype=jnp.float32,

@@ -172,6 +172,125 @@ def _rle_pack16_call(x2: jnp.ndarray, *, seg: int, interpret: bool):
     )(x2, lt)
 
 
+def _rle_pack16_kt_kernel(x_ref, lt_ref, packed_ref, runs_ref, *, seg: int):
+    """Transposed-layout tile: (R_BLK, K, C) coefficients — K positions
+    along SUBLANES, C blocks along lanes, R_BLK block-rows per grid step
+    so each step moves real work — → (R_BLK·C, K) packed pairs in
+    standard block-row-major order (the per-row full 2D transpose happens
+    in VMEM, one of the few relayouts Mosaic lowers).
+
+    Consumes the layout the plane-view fused einsum emits for free
+    (``ops/fused.py::fused_forward_plane_jnp``), which is what lets the
+    forward chain skip the 8×8 tile relayout entirely.  The sublane-axis
+    butterfly measured 11.5 ms (K=64) / 8.8 ms (K=32) per 2M blocks vs
+    14.8 / 11.6 for the lane-axis kernel / the XLA sort
+    (profiles/profile_pallas_rle_pack16.py round-3 addendum).
+    """
+    nbits = seg.bit_length() - 1
+    x = x_ref[:].astype(jnp.int32)  # (R_BLK, K, C)
+    m = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    prev = pltpu.roll(x, shift=1, axis=1)
+    starts = (m == 0) | (x != prev)
+    # Rank prefix-sum as a sublane-contracting batched MXU matmul (exact:
+    # 0/1 operands, sums ≤ seg, bf16 multiplies with f32 accumulation).
+    c = jax.lax.dot_general(
+        starts.astype(jnp.bfloat16),
+        lt_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (R_BLK, C, K): c[r, b, s] = Σ_j≤s starts[r, j, b]
+    rank = jnp.transpose(c, (0, 2, 1)) - 1
+    word = jnp.where(
+        starts,
+        (m - rank) | (m << _POS_SH) | ((x + 511) << _VAL_SH) | _VALID,
+        0,
+    )
+    for b in range(nbits):
+        step = 1 << b
+        incoming = pltpu.roll(word, shift=seg - step, axis=1)
+        ok = m < (seg - step)
+        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
+        depart = ((word & _VALID) != 0) & ((word & step) != 0)
+        word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
+    valid = (word & _VALID) != 0
+    key = jnp.where(valid, (word >> _POS_SH) & (LANES - 1), seg)
+    val = ((word >> _VAL_SH) & 0x3FF) - 511
+    nxt = jnp.where(
+        m == seg - 1, seg, pltpu.roll(key, shift=seg - 1, axis=1)
+    )
+    counts = jnp.where(valid, nxt - key, 0)
+    packed = (jnp.maximum(counts - 1, 0) << 10) | (val + PACK16_VALUE_BIAS)
+    packed = jnp.where(counts > 0, packed, 0).astype(jnp.int16)
+    r_blk, _, cols = packed.shape
+    packed_ref[:] = jnp.transpose(packed, (0, 2, 1)).reshape(
+        r_blk * cols, seg
+    )
+    # Runs stay (R_BLK, C) — flattening lanes into sublanes here is an
+    # unsupported Mosaic shape cast; the wrapper flattens outside (free).
+    runs_ref[:] = jnp.sum(starts.astype(jnp.int32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rle_pack16_kt_call(zz_kt: jnp.ndarray, *, interpret: bool):
+    rows, seg, cols = zz_kt.shape
+    # Block-rows per grid step: target ≥256K coefficients so grid-step
+    # overhead amortizes (the 1-row variant measured 13% slower end to
+    # end); VMEM stays ≤ ~2 MB per operand.
+    r_blk = max(1, min(rows, (1 << 18) // (seg * cols)))
+    while rows % r_blk:
+        r_blk -= 1
+    in_spec = pl.BlockSpec(
+        (r_blk, seg, cols), lambda r: (r, 0, 0), memory_space=pltpu.VMEM
+    )
+    lt_spec = pl.BlockSpec(
+        (seg, seg), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (r_blk * cols, seg), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    runs_spec = pl.BlockSpec(
+        (r_blk, cols), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    j = jnp.arange(seg)[:, None]
+    s = jnp.arange(seg)[None, :]
+    lt = (s <= j).astype(jnp.bfloat16)  # lt[a, j] = j ≤ a (contract j)
+    return pl.pallas_call(
+        functools.partial(_rle_pack16_kt_kernel, seg=seg),
+        grid=(rows // r_blk,),
+        in_specs=[in_spec, lt_spec],
+        out_specs=(out_spec, runs_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows * cols, seg), jnp.int16),
+            jax.ShapeDtypeStruct((rows, cols), jnp.int32),
+        ),
+        interpret=interpret,
+    )(zz_kt, lt)
+
+
+def rle_encode_packed16_pallas_kt(
+    zz_kt: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed-input twin of ``rle_encode_packed16_pallas``:
+    (R, K, C) coefficient blocks — K block positions along the middle
+    axis, C blocks per row (the plane-view einsum's ``akb`` layout) —
+    → ((R·C, K) packed uint16, (R·C,) int32 symbol lengths) in standard
+    block-row-major order, bit-identical to ``rle_encode_packed16`` of
+    the relayouted input.
+
+    Requires ``C % 128 == 0`` (the lane tile) and K a power of two ≤ 128;
+    callers fall back to the row-major kernel otherwise.
+    """
+    rows, seg, cols = zz_kt.shape
+    if seg & (seg - 1) or seg > LANES:
+        raise ValueError(f"segment length {seg} must be a power of two ≤ {LANES}")
+    if cols % LANES:
+        raise ValueError(f"block columns {cols} must be a multiple of {LANES}")
+    packed, runs = _rle_pack16_kt_call(
+        zz_kt.astype(jnp.int32), interpret=interpret
+    )
+    return packed.astype(jnp.uint16), 2 * runs.reshape(-1)
+
+
 def rle_encode_packed16_pallas(
     values: jnp.ndarray, interpret: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -59,3 +59,82 @@ class TestPallasRLEIdentity:
             rle_encode_packed16_pallas(
                 jnp.zeros((4, 48), jnp.int16), interpret=True
             )
+
+
+class TestPallasKtIdentity:
+    """Transposed-input (plane-layout) kernel: (R, K, C) blocks along the
+    middle axis must produce exactly rle_encode_packed16 of the relayouted
+    rows — the production forward path for width-1024-multiple images."""
+
+    @pytest.mark.parametrize("shape", [(6, 64, 256), (10, 32, 128), (7, 64, 128)])
+    def test_random(self, rng, shape):
+        import jax
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas_kt
+
+        r, k, c = shape
+        kt = rng.integers(-511, 512, size=shape).astype(np.int16)
+        kt[:, :, ::2] = np.repeat(kt[:, ::8, ::2], 8, axis=1)[:, :k]
+        p, l = rle_encode_packed16_pallas_kt(jnp.asarray(kt), interpret=True)
+        nk = np.transpose(kt, (0, 2, 1)).reshape(-1, k)
+        rp, rl = jax.jit(rle_encode_packed16)(jnp.asarray(nk))
+        np.testing.assert_array_equal(np.asarray(rp), np.asarray(p))
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(l))
+
+    def test_rejects_unaligned_columns(self):
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas_kt
+
+        with pytest.raises(ValueError):
+            rle_encode_packed16_pallas_kt(
+                jnp.zeros((2, 64, 96), jnp.int16), interpret=True
+            )
+
+
+class TestPlaneEinsumIdentity:
+    """The plane-view fused einsum must match the tile matmul path
+    coefficient-for-coefficient (verified on-chip too; this pins the CPU
+    lowering)."""
+
+    def test_matches_tile_path(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.config import JPEGConfig
+        from lz4jpeg_tpu.models.jpeg import (
+            JPEGPipeline,
+            _CHANNEL_SHAPES,
+            forward_channel,
+        )
+        from lz4jpeg_tpu.ops.color import (
+            chroma_subsample_422,
+            rgb_to_ycbcr,
+            split_mcus,
+        )
+        from lz4jpeg_tpu.ops.fused import fused_forward_plane_jnp
+
+        pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        y, cr, cb = rgb_to_ycbcr(jnp.asarray(img), jnp.float32)
+        crs, cbs = chroma_subsample_422(cr), chroma_subsample_422(cb)
+        lum_t, r_t, b_t = split_mcus(y, crs, cbs)
+        for name, tiles, plane in (
+            ("lum", lum_t, y), ("r", r_t, crs), ("b", b_t, cbs)
+        ):
+            tw = _CHANNEL_SHAPES[name][1]
+            zz_tile = jax.jit(
+                lambda t, n=name: forward_channel(
+                    t, n, pipe._tables, jnp.float32, True
+                )
+            )(tiles)
+            zz_kt = jax.jit(
+                lambda p, n=name, w=tw: fused_forward_plane_jnp(
+                    p, pipe._tables[n], w
+                )
+            )(plane)
+            nk = np.transpose(np.asarray(zz_kt), (0, 2, 1)).reshape(
+                -1, zz_kt.shape[1]
+            )
+            np.testing.assert_array_equal(np.asarray(zz_tile), nk)
