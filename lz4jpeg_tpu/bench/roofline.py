@@ -118,59 +118,137 @@ def run_jpeg_forward_roofline(
         np.stack([generate_noise_image(size, size, rng) for _ in range(batch)])
     )
     npix = batch * size * size  # pixels per chain iteration
-    split = jax.vmap(pipeline._split_impl)
-    tiles = jax.jit(split)(imgs)  # stage-2/3 inputs, resident in HBM
-    tiles = jax.tree_util.tree_map(
-        lambda t: t.reshape(-1, *t.shape[2:]), tiles
+    # The production pack16 path on TPU uses the plane-view einsum + the
+    # sublane-butterfly Pallas kernel for width-1024-multiple images (no
+    # 8×8 tile relayout at all); measure the stages of whichever path the
+    # pipeline actually takes.
+    plane_path = (
+        getattr(pipeline, "_pallas_rle", False)
+        and size % 8 == 0
+        and size % 1024 == 0
     )
-
-    def matmuls(ts, c):
-        out = []
-        for name, t in zip(CHANNELS, ts):
-            t = (t + c.astype(t.dtype)) if c is not None else t
-            out.append(
-                forward_channel(t, name, pipeline._tables, jnp.float32, True)
-            )
-        return out
-
-    zz = jax.jit(lambda ts: matmuls(ts, None))(tiles)
 
     stages: Dict[str, Dict] = {}
 
-    # -- stage 1: color transform + 4:2:2 + MCU split --------------------
-    def split_body(x, c, s):
-        lum, r, b = split(x + c.astype(jnp.uint8))
-        # Full-output fence: a few-element checksum is sliceable through
-        # the transposes (same DCE hazard as the RLE fence, see below).
-        s = s + sum(
-            jnp.sum(t.astype(jnp.float32)) for t in (lum, r, b)
+    if plane_path:
+        from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES
+        from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr
+        from lz4jpeg_tpu.ops.fused import fused_forward_plane_jnp
+        from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas_kt
+
+        def planes_fn(x):
+            def one(img):
+                y, cr, cb = rgb_to_ycbcr(img, jnp.float32)
+                return y, chroma_subsample_422(cr), chroma_subsample_422(cb)
+
+            return jax.vmap(one)(x)
+
+        planes = jax.jit(planes_fn)(imgs)
+
+        def plane_matmuls(ps, c):
+            out = []
+            for name, p in zip(CHANNELS, ps):
+                p = (p + c.astype(p.dtype)) if c is not None else p
+                tw = _CHANNEL_SHAPES[name][1]
+                zz_kt = jax.vmap(
+                    lambda pp, n=name, w=tw: fused_forward_plane_jnp(
+                        pp, pipeline._tables[n], w
+                    )
+                )(p)
+                out.append(zz_kt.astype(jnp.int16))
+            return out
+
+        zz = jax.jit(lambda ps: plane_matmuls(ps, None))(planes)
+
+        # -- stage 1: color transform + 4:2:2 (planes only) --------------
+        def color_body(x, c, s):
+            y, r, b = planes_fn(x + c.astype(jnp.uint8))
+            s = s + sum(jnp.sum(t.astype(jnp.float32)) for t in (y, r, b))
+            return (y[0, 0, 0] % 2).astype(jnp.int16), s
+
+        print("timing color_planes ...", flush=True)
+        stages["color_split"] = {
+            "measured_s": _chain_bench(color_body, imgs, chain),
+            "flops": 10 * npix,
+            "bytes": 3 * npix + 2 * npix,  # RGB u8 in, Y + half chroma out
+        }
+
+        # -- stage 2: plane-view fused einsum (3 channels, i16 out) ------
+        def matmul_body(ps, c, s):
+            out = plane_matmuls(ps, c)
+            return (out[0][0, 0, 0, 0] % 2).astype(jnp.int16), s + sum(
+                jnp.sum(o.astype(jnp.float32)) for o in out
+            )
+
+        print("timing plane_matmul ...", flush=True)
+        stages["mcu_matmul"] = {
+            "measured_s": _chain_bench(matmul_body, planes, chain),
+            "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
+            "bytes": 2 * npix + 4 * npix,  # u8 planes in, i16 coeffs out
+        }
+
+        def rle_fn(z):
+            return rle_encode_packed16_pallas_kt(
+                z.reshape(-1, *z.shape[2:])
+            )
+    else:
+        split = jax.vmap(pipeline._split_impl)
+        tiles = jax.jit(split)(imgs)  # stage-2/3 inputs, resident in HBM
+        tiles = jax.tree_util.tree_map(
+            lambda t: t.reshape(-1, *t.shape[2:]), tiles
         )
-        return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s
 
-    print("timing color_split ...", flush=True)
-    stages["color_split"] = {
-        "measured_s": _chain_bench(split_body, imgs, chain),
-        "flops": 10 * npix,          # 3-tap color matrix per pixel
-        "bytes": 3 * npix + 2 * npix,  # RGB u8 in, Y + 2 half-res chroma u8 out
-    }
+        def matmuls(ts, c):
+            out = []
+            for name, t in zip(CHANNELS, ts):
+                t = (t + c.astype(t.dtype)) if c is not None else t
+                out.append(
+                    forward_channel(
+                        t, name, pipeline._tables, jnp.float32, True
+                    )
+                )
+            return out
 
-    # -- stage 2: fused DCT+quant+zigzag matmul (3 channels) -------------
-    def matmul_body(ts, c, s):
-        out = matmuls(ts, c)
-        # Full-output fence: a column slice of a dot is itself a smaller
-        # dot, so a partial checksum would under-measure.
-        return (out[0][0, 0] % 2).astype(jnp.int16), s + sum(
-            jnp.sum(o) for o in out
+        zz = jax.jit(lambda ts: matmuls(ts, None))(tiles)
+
+        # -- stage 1: color transform + 4:2:2 + MCU split ----------------
+        def split_body(x, c, s):
+            lum, r, b = split(x + c.astype(jnp.uint8))
+            # Full-output fence: a few-element checksum is sliceable
+            # through the transposes (same DCE hazard as the RLE fence).
+            s = s + sum(
+                jnp.sum(t.astype(jnp.float32)) for t in (lum, r, b)
+            )
+            return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s
+
+        print("timing color_split ...", flush=True)
+        stages["color_split"] = {
+            "measured_s": _chain_bench(split_body, imgs, chain),
+            "flops": 10 * npix,          # 3-tap color matrix per pixel
+            "bytes": 3 * npix + 2 * npix,  # RGB u8 in, tiles u8 out
+        }
+
+        # -- stage 2: fused DCT+quant+zigzag matmul (3 channels) ---------
+        def matmul_body(ts, c, s):
+            out = matmuls(ts, c)
+            # Full-output fence: a column slice of a dot is itself a
+            # smaller dot, so a partial checksum would under-measure.
+            return (out[0][0, 0] % 2).astype(jnp.int16), s + sum(
+                jnp.sum(o) for o in out
+            )
+
+        print("timing mcu_matmul ...", flush=True)
+        stages["mcu_matmul"] = {
+            "measured_s": _chain_bench(matmul_body, tiles, chain),
+            "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
+            "bytes": 2 * npix + 8 * npix,  # u8 tiles in, f32 coeffs out
+        }
+
+        rle_fn = (
+            pipeline._rle_pack16_fn
+            if pipeline._pack16
+            else rle_encode_batched
         )
-
-    print("timing mcu_matmul ...", flush=True)
-    stages["mcu_matmul"] = {
-        "measured_s": _chain_bench(matmul_body, tiles, chain),
-        # lum: 2·(npix/64)·64² ; chroma ×2: 2·(npix/4/32… i.e. npix/2 coeffs
-        # per channel at hw=32): 2·(npix/2)·32 each.
-        "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
-        "bytes": 2 * npix + 8 * npix,  # u8 tiles in, f32 coefficients out
-    }
 
     # -- stage 3: RLE compaction (3 channels, production pack16 path) ----
     # FENCE THE PAIRS, NOT JUST THE LENGTHS: lengths = 2·num_runs depend
@@ -180,19 +258,18 @@ def run_jpeg_forward_roofline(
     # committed in results/formulation_ab.json, profiles/profile_fence_dce
     # .py).  Summing the packed output forces every element, and the
     # compiled-HLO guard below makes the lesson a hard failure.
-    rle_fn = (
-        pipeline._rle_pack16_fn if pipeline._pack16 else rle_encode_batched
-    )
-
     def rle_body(zs, c, s):
         for z in zs:
-            p, l = rle_fn((z + c.astype(jnp.float32)).astype(jnp.int16))
+            z = (z.astype(jnp.int32) + c.astype(jnp.int32)).astype(
+                jnp.int16
+            )
+            p, l = rle_fn(z)
             s = (
                 s
                 + jnp.sum(p.astype(jnp.float32))
                 + jnp.sum(l.astype(jnp.float32))
             )
-            c = (l[0] % 3).astype(jnp.int16)
+            c = (l.reshape(-1)[0] % 3).astype(jnp.int16)
         return c, s
 
     print("timing rle ...", flush=True)
@@ -200,11 +277,12 @@ def run_jpeg_forward_roofline(
     stages["rle"] = {
         "measured_s": _chain_bench(rle_body, zz, chain),
         "flops": 0,  # compare/select network — not MXU work
-        # f32 zz in, packed u16 [count|value] out (or int32 (N,2L) pairs
-        # on the non-pack16 fallback); the sort network's internal passes
-        # are excluded by the read-once/write-once convention, which is
-        # why this stage's SoL fraction is low.
-        "bytes": 8 * npix + (4 * npix if pipeline._pack16 else 16 * npix),
+        # zz in (i16 on the plane path, f32 staged otherwise), packed u16
+        # [count|value] out (int32 (N,2L) pairs on the non-pack16
+        # fallback); internal passes are excluded by the read-once/
+        # write-once convention.
+        "bytes": (4 * npix if plane_path else 8 * npix)
+        + (4 * npix if pipeline._pack16 else 16 * npix),
     }
 
     # -- bare-sort ceiling at the production shapes ----------------------

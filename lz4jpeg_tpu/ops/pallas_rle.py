@@ -285,9 +285,11 @@ def rle_encode_packed16_pallas_kt(
         raise ValueError(f"segment length {seg} must be a power of two ≤ {LANES}")
     if cols % LANES:
         raise ValueError(f"block columns {cols} must be a multiple of {LANES}")
-    packed, runs = _rle_pack16_kt_call(
-        zz_kt.astype(jnp.int32), interpret=interpret
-    )
+    # int16 stays int16 into the kernel (halves its HBM read; the in-kernel
+    # astype widens in VMEM); other dtypes are staged as int32.
+    if zz_kt.dtype != jnp.int16:
+        zz_kt = zz_kt.astype(jnp.int32)
+    packed, runs = _rle_pack16_kt_call(zz_kt, interpret=interpret)
     return packed.astype(jnp.uint16), 2 * runs.reshape(-1)
 
 
