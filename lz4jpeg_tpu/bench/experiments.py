@@ -354,10 +354,10 @@ def run_jpeg_inverse_device_experiment(
     chain = 4
     results = []
     for size in sizes or [512, 1024, 2048]:
-        # ~512 MPix per dispatch: the decode chain keeps gaining with batch
-        # until ~b96-128 at 2048² (1139→1530→1540 MPix/s at b32/96/128,
-        # measured), then plateaus; >512 MPix fails to compile.
-        batch = min(512, max(1, (512 << 20) // (size * size)))
+        # ~256 MPix per dispatch (512 MPix OOMs HBM with the round-3
+        # Pallas expansion-butterfly decode in the chain; throughput had
+        # already plateaued by ~b96-128 at 2048² in the r2 sweep).
+        batch = min(256, max(1, (256 << 20) // (size * size)))
         img = generate_noise_image(size, size, rng)
         slim = jax.block_until_ready(pipeline._forward_rle(jnp.asarray(img)))
         rle = {c: jnp.tile(slim[c][0], (batch, 1, 1)) for c in CHANNELS}

@@ -372,15 +372,33 @@ class JPEGPipeline:
         JPEG.c:1348-1428."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        rle_decode = rle_decode_packed16 if packed16 else rle_decode_batched
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
-            zz = rle_decode(rle[name], rle_lengths[name], h * w)
+            zz = self._rle_decode_fn(
+                rle[name], rle_lengths[name], h * w, packed16
+            )
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return ycbcr_to_rgb_mcus(
             rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
         )
+
+    def _rle_decode_fn(self, pairs, lengths, out_size: int, packed16: bool):
+        """Production RLE expansion: the Pallas expansion butterfly on TPU
+        for aligned packed16 shapes (3.2×/1.5× the membership einsum on
+        luma/chroma, bit-identical — results/pallas_ab.json round 3), the
+        XLA membership einsum otherwise."""
+        if not packed16:
+            return rle_decode_batched(pairs, lengths, out_size)
+        if (
+            self._pallas_rle
+            and pairs.shape[-1] == out_size
+            and pairs.shape[-2] % 128 == 0
+        ):
+            from lz4jpeg_tpu.ops.pallas_rle import rle_decode_packed16_pallas
+
+            return rle_decode_packed16_pallas(pairs, lengths, out_size)
+        return rle_decode_packed16(pairs, lengths, out_size)
 
     # ------------------------------------------------------------------
     # Public API
@@ -630,11 +648,12 @@ class JPEGPipeline:
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        rle_decode = rle_decode_packed16 if packed16 else rle_decode_batched
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
-            zz = rle_decode(rle[name], rle_lengths[name], h * w)
+            zz = self._rle_decode_fn(
+                rle[name], rle_lengths[name], h * w, packed16
+            )
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return rec
 

@@ -320,3 +320,129 @@ def rle_encode_packed16_pallas(
     packed = packed2.astype(jnp.uint16).reshape(-1, length)[:n]
     lengths = 2 * runs2.reshape(-1)[: n]
     return packed, lengths
+
+
+# ---------------------------------------------------------------------------
+# Decode side: expansion butterfly (the inverse of the concentration above)
+# ---------------------------------------------------------------------------
+
+def _rle_decode_kt_kernel(p_ref, ltx_ref, zz_ref, *, seg: int):
+    """(R_BLK·128, K) packed u16 pairs → (R_BLK·128, K) int16 zigzag values.
+
+    The decode mirror of the encode butterfly: front-compacted
+    [count, value] pairs DISTRIBUTE to their run-start positions on the
+    inverse butterfly (MSB of the shift distance first — the reverse
+    schedule of the encode's concentration, collision-free by the mirror
+    of the same monotonicity argument), then a log2(K)-stage fill-forward
+    scan propagates each start's value across its run.  Start positions
+    are an exclusive prefix sum of counts — one strict-lower-triangular
+    MXU matmul.  Replaces the disjoint-interval membership einsum
+    (``ops/rle.py::rle_decode_packed16``), whose (N, K, K) contraction
+    does K× the algorithmic work on the MXU.
+
+    Validity needs no lengths side channel: valid packed words are
+    nonzero by construction (value+512 ∈ [1, 1023]) and padding slots are
+    exactly zero.
+    """
+    nbits = seg.bit_length() - 1
+    x = p_ref[:].astype(jnp.int32) & 0xFFFF  # (rows, K) u16 via i16 load
+    xt = x.T  # (K, rows): pair slots along sublanes
+    m = jax.lax.broadcasted_iota(jnp.int32, xt.shape, dimension=0)
+    valid = xt != 0
+    counts = jnp.where(valid, (xt >> 10) + 1, 0)
+    vals = jnp.where(valid, (xt & 0x3FF) - PACK16_VALUE_BIAS, 0)
+    # Exclusive prefix sum of counts → each run's start position; the
+    # inclusive total rides in for the tail mask.
+    incl = jnp.dot(
+        ltx_ref[:],
+        counts.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # incl[s, b] = Σ_{j≤s} counts[j, b]
+    starts = incl - counts
+    total = jnp.max(incl, axis=0, keepdims=True)  # (1, rows)
+    dist = jnp.where(valid, starts - m, 0)  # ≥ 0: slots only move down
+    word = jnp.where(
+        valid, dist | ((vals + 512) << _VAL_SH) | _VALID, 0
+    )
+    # Distribute: MSB-first moves down by 2^b when bit b of the remaining
+    # distance is set (dist < K always, so nbits stages suffice).
+    for b in range(nbits - 1, -1, -1):
+        step = 1 << b
+        incoming = pltpu.roll(word, shift=step, axis=0)
+        ok = m >= step  # nothing wraps in from the bottom
+        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
+        depart = ((word & _VALID) != 0) & ((word & step) != 0)
+        word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
+    # Fill-forward: every position takes the nearest start at or BELOW it
+    # (propagating values down across their runs; positions before the
+    # first start cannot occur: starts[0] == 0 for any nonempty block).
+    out = jnp.where(
+        (word & _VALID) != 0,
+        ((word >> _VAL_SH) & 0x3FF) - PACK16_VALUE_BIAS,
+        0,
+    )
+    # `have` stays int32 — Mosaic cannot rotate i1 vectors.
+    have = (word & _VALID) >> 23
+    for b in range(nbits):
+        step = 1 << b
+        src_out = pltpu.roll(out, shift=step, axis=0)
+        src_have = pltpu.roll(have, shift=step, axis=0)
+        take = (1 - have) * jnp.where(m >= step, src_have, 0)
+        out = jnp.where(take != 0, src_out, out)
+        have = have | take
+    out = jnp.where(m < total, out, 0)  # zero-pad past the data
+    zz_ref[:] = out.T.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rle_decode_kt_call(packed_i16: jnp.ndarray, *, interpret: bool):
+    n, seg = packed_i16.shape
+    # Rows per grid step: same ≥256K-element granularity rule as encode.
+    r_blk = max(LANES, min(n, (1 << 18) // seg))
+    while n % r_blk:
+        r_blk -= LANES
+    r_blk = max(r_blk, LANES)
+    spec = pl.BlockSpec(
+        (r_blk, seg), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    lt_spec = pl.BlockSpec(
+        (seg, seg), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    j = jnp.arange(seg)[:, None]
+    s = jnp.arange(seg)[None, :]
+    ltx = (s <= j).astype(jnp.bfloat16)  # inclusive prefix (contract j)
+    return pl.pallas_call(
+        functools.partial(_rle_decode_kt_kernel, seg=seg),
+        grid=(n // r_blk,),
+        in_specs=[spec, lt_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, seg), jnp.int16),
+        interpret=interpret,
+    )(packed_i16, ltx)
+
+
+def rle_decode_packed16_pallas(
+    packed: jnp.ndarray, lengths: jnp.ndarray, out_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``ops/rle.py::rle_decode_packed16`` on TPU: (N, K)
+    packed uint16 pairs (+ unused lengths — validity is implicit in the
+    nonzero packed words) → (N, out_size) int32 coefficients.
+
+    Requires ``out_size == K`` (the JPEG pipeline always satisfies this:
+    blocks hold exactly K coefficients) and N a multiple of 128; callers
+    pad or fall back to the membership einsum otherwise.
+    """
+    del lengths  # validity is implicit (nonzero words)
+    n, k = packed.shape
+    if out_size != k:
+        raise ValueError(f"out_size {out_size} must equal pair width {k}")
+    if n % LANES or k & (k - 1) or k > LANES:
+        raise ValueError(f"bad shape ({n}, {k}) for the decode kernel")
+    zz = _rle_decode_kt_call(
+        jax.lax.bitcast_convert_type(
+            packed.astype(jnp.uint16), jnp.int16
+        ),
+        interpret=interpret,
+    )
+    return zz.astype(jnp.int32)

@@ -138,3 +138,47 @@ class TestPlaneEinsumIdentity:
                 -1, zz_kt.shape[1]
             )
             np.testing.assert_array_equal(np.asarray(zz_tile), nk)
+
+
+class TestPallasDecodeIdentity:
+    """Expansion-butterfly decode: must reproduce the membership-einsum
+    rle_decode_packed16 exactly (and therefore round-trip the encoder)."""
+
+    @pytest.mark.parametrize("shape", [(256, 64), (384, 32), (128, 64)])
+    def test_roundtrip_identity(self, rng, shape):
+        import jax
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import rle_decode_packed16_pallas
+        from lz4jpeg_tpu.ops.rle import rle_decode_packed16
+
+        n, k = shape
+        vals = rng.integers(-511, 512, size=shape).astype(np.int16)
+        rep = np.repeat(
+            rng.integers(-511, 512, size=(n, (k + 7) // 8)), 8, axis=1
+        )[:, :k]
+        vals[::2] = rep[::2].astype(np.int16)
+        vals[3] = 0  # constant-zero block (single run covers the block)
+        packed, lengths = jax.jit(rle_encode_packed16)(jnp.asarray(vals))
+        ref = jax.jit(
+            lambda p, l, k=k: rle_decode_packed16(p, l, k)
+        )(packed, lengths)
+        got = rle_decode_packed16_pallas(
+            packed, lengths, k, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        np.testing.assert_array_equal(np.asarray(got), vals.astype(np.int32))
+
+    def test_rejects_bad_shapes(self):
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import rle_decode_packed16_pallas
+
+        with pytest.raises(ValueError):
+            rle_decode_packed16_pallas(
+                jnp.zeros((100, 64), jnp.uint16), None, 64, interpret=True
+            )  # N not a multiple of 128
+        with pytest.raises(ValueError):
+            rle_decode_packed16_pallas(
+                jnp.zeros((128, 64), jnp.uint16), None, 128, interpret=True
+            )  # out_size != K
