@@ -119,6 +119,10 @@ class NativeBackend:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ]
+        lib.lz4t_crc32.restype = ctypes.c_uint32
+        lib.lz4t_crc32.argtypes = [
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t,
+        ]
 
     def encode_fast(self, data: bytes) -> bytes:
         out = ctypes.create_string_buffer(len(data) + len(data) // 32 + 4096)
@@ -439,19 +443,33 @@ class NativeBackend:
         pairs = np.ascontiguousarray(pairs, np.int32)
         lengths = np.ascontiguousarray(lengths, np.int32)
         n, w = pairs.shape
-        # ≤ ~32 bits per symbol is the practical worst case; headroom ×2.
+        # ≤ ~32 bits per symbol is the practical worst case, but the quirky
+        # heap can emit code lengths up to (#unique − 1) ≤ 127 for wide
+        # blocks — on output-full (-1) retry with a doubled buffer instead
+        # of silently falling back to the slow Python oracle loop.
         cap = int(lengths.astype(np.int64).sum()) * 64 + 1024
-        out = ctypes.create_string_buffer(cap)
         counts = np.zeros(n, np.int64)
-        total = self._lib.huff_per_block_ascii(
-            pairs.ctypes.data, lengths.ctypes.data, n, w,
-            out, cap, counts.ctypes.data,
-        )
+        total = -1
+        for _ in range(3):
+            out = ctypes.create_string_buffer(cap)
+            total = self._lib.huff_per_block_ascii(
+                pairs.ctypes.data, lengths.ctypes.data, n, w,
+                out, cap, counts.ctypes.data,
+            )
+            if total != -1:  # success or kErrBadInput (-2): stop retrying
+                break
+            cap *= 2
         if total < 0:
             return None
         buf = out.raw[:total].decode("ascii")
         offsets = np.concatenate([[0], np.cumsum(counts)])
         return [buf[offsets[i] : offsets[i + 1]] for i in range(n)]
+
+    def crc32(self, data: bytes, crc: int = 0) -> int:
+        """Incremental zlib-compatible CRC32 via the native table (the
+        streaming writers use ``zlib.crc32``; this export exists so C++
+        and Python checksums are provably identical — see the parity test)."""
+        return int(self._lib.lz4t_crc32(crc & 0xFFFFFFFF, data, len(data)))
 
     def encode_parity(self, data: bytes, block_length: int = 300) -> bytes:
         out = ctypes.create_string_buffer(2 * len(data) + 65536)

@@ -48,19 +48,23 @@ inline uint32_t hash32(uint32_t x) {
 // CRC32 (zlib polynomial, reflected 0xEDB88320) for the frame's 16-bit
 // content checksum — must match zlib.crc32 byte for byte so the C++ and
 // Python writers emit identical headers (formats/fast_frame.py).
-inline const uint32_t* crc32_table() {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+struct Crc32Table {
+  uint32_t table[256];
+  Crc32Table() {
     for (uint32_t i = 0; i < 256; ++i) {
       uint32_t c = i;
       for (int k = 0; k < 8; ++k)
         c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
       table[i] = c;
     }
-    init = true;
   }
-  return table;
+};
+
+inline const uint32_t* crc32_table() {
+  // C++11 function-local static: initialization is thread-safe, unlike a
+  // hand-rolled bool flag (callers may come from threads without the GIL).
+  static const Crc32Table t;
+  return t.table;
 }
 
 inline uint32_t crc32_update(uint32_t crc, const uint8_t* p, size_t n) {

@@ -55,6 +55,12 @@ _POS_SH = 6
 _VAL_SH = 13
 _VALID = 1 << 23
 
+# The packed word's shift-distance field is 6 bits (< 64) and the pack16
+# count field is likewise 6 bits, so a 128-lane segment would silently
+# corrupt output (distance bit 6 collides with the position field).  Only
+# 64 (luma) and 32 (chroma) are used in-repo; reject anything larger.
+MAX_SEG = 64
+
 
 def _rle_pack16_kernel(x_ref, lt_ref, packed_ref, runs_ref, *, seg: int):
     """One (BLOCK_R, 128) tile → packed u16 pairs + per-segment run counts.
@@ -281,8 +287,11 @@ def rle_encode_packed16_pallas_kt(
     callers fall back to the row-major kernel otherwise.
     """
     rows, seg, cols = zz_kt.shape
-    if seg & (seg - 1) or seg > LANES:
-        raise ValueError(f"segment length {seg} must be a power of two ≤ {LANES}")
+    if seg & (seg - 1) or seg > MAX_SEG:
+        raise ValueError(
+            f"segment length {seg} must be a power of two ≤ {MAX_SEG} "
+            "(6-bit shift-distance/count fields in the packed word)"
+        )
     if cols % LANES:
         raise ValueError(f"block columns {cols} must be a multiple of {LANES}")
     # int16 stays int16 into the kernel (halves its HBM read; the in-kernel
@@ -305,9 +314,10 @@ def rle_encode_packed16_pallas(
     formulation otherwise, exactly as with the XLA pack16 path).
     """
     n, length = values.shape
-    if length & (length - 1) or length > LANES:
+    if length & (length - 1) or length > MAX_SEG:
         raise ValueError(
-            f"segment length {length} must be a power of two ≤ {LANES}"
+            f"segment length {length} must be a power of two ≤ {MAX_SEG} "
+            "(6-bit shift-distance/count fields in the packed word)"
         )
     segs_per_row = LANES // length
     pad = (-n) % segs_per_row
@@ -437,7 +447,9 @@ def rle_decode_packed16_pallas(
     n, k = packed.shape
     if out_size != k:
         raise ValueError(f"out_size {out_size} must equal pair width {k}")
-    if n % LANES or k & (k - 1) or k > LANES:
+    if n % LANES or k & (k - 1) or k > MAX_SEG:
+        # k ≤ 64 mirrors the encode guard: pack16's 6-bit count field
+        # cannot describe longer segments in the first place.
         raise ValueError(f"bad shape ({n}, {k}) for the decode kernel")
     zz = _rle_decode_kt_call(
         jax.lax.bitcast_convert_type(

@@ -184,3 +184,37 @@ class TestPerBlockHuffman:
             )
             is None
         )
+
+
+class TestCrc32Export:
+    def test_matches_zlib_incremental(self, rng):
+        import zlib
+
+        nb = native_backend()
+        data = rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes()
+        assert nb.crc32(data) == zlib.crc32(data)
+        mid = nb.crc32(data[:1000])
+        assert nb.crc32(data[1000:], mid) == zlib.crc32(data)
+
+
+class TestPerBlockBufferRetry:
+    def test_adversarial_wide_block_succeeds_natively(self, rng):
+        """A 128-unique-symbol block can emit code lengths far above the
+        64-chars/symbol first-guess buffer; the doubled-buffer retry must
+        keep it on the native path instead of silently falling back."""
+        from lz4jpeg_tpu.oracle import jpeg_oracle
+
+        # Exponential-ish frequencies force a deep (quirky) Huffman tree.
+        syms = []
+        for i in range(64):
+            syms.extend([i - 32] * (2 ** min(i // 4, 12)))
+        pairs_list = syms[:4096]
+        n = len(pairs_list)
+        pairs = np.zeros((1, n), np.int32)
+        pairs[0, :] = pairs_list
+        got = native_backend().huff_per_block(
+            pairs, np.asarray([n], np.int32)
+        )
+        assert got is not None
+        ref, _root, _codes = jpeg_oracle.encode_huffman_oracle(pairs_list)
+        assert got[0] == ref

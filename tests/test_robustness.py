@@ -173,6 +173,12 @@ class TestMutationFuzz:
         pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
         img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
         blob = pack_container(pipe.encode(img))
+        # TJPG v2's folded CRC32 covers the header AND the whole payload
+        # (formats/jpeg_container.py), so the assertable contract is the
+        # strong one: any bit flip is a typed error or decodes BIT-EXACT
+        # to the unmutated stream (a 1/65535 fold collision is possible in
+        # principle; these seeds are deterministic, so none occurs here).
+        baseline = np.asarray(pipe.decode(unpack_container(blob)))
         fuzz_rng = np.random.default_rng(5)
         for _ in range(60):  # entropy decode is heavier; fewer trials
             mutated = bytearray(blob)
@@ -183,8 +189,9 @@ class TestMutationFuzz:
                 rec = pipe.decode(enc)
             except (JPEGContainerError, ValueError, RuntimeError):
                 continue  # typed rejection (container, bounds, native walker)
-            # Lossy pixels may differ; the contract is a well-formed image.
-            assert rec.shape == img.shape and rec.dtype == img.dtype
+            assert (np.asarray(rec) == baseline).all(), (
+                f"silent corruption passed the checksum (flip at {pos})"
+            )
 
 
 class TestContainerRobustness:
