@@ -39,6 +39,7 @@ import numpy as np
 
 HBM_PEAK_GBS = 819.0  # TPU v5e
 MXU_PEAK_TFLOPS = 197.0  # TPU v5e bf16
+LANES_FOR_STREAM = 512  # wide rows so the stream probe trivially saturates
 
 
 def _make_chained(body, chain: int):
@@ -95,6 +96,95 @@ def _assert_fence_forces_compaction(body, data, chain: int) -> None:
             "every number this bench would print is hollow.  Fix the "
             "fence (reduce the FULL packed output, not just lengths)."
         )
+
+
+def measure_hbm_stream_ceiling(
+    footprint_bytes: int = 512 << 20,
+    chain: int = 32,
+    runs: int = 4,
+) -> Dict:
+    """Measured achievable HBM bandwidth at the production footprint.
+
+    The paper peak (819 GB/s, TPU v5e) is not what a real kernel can
+    sustain through XLA on this tunnel-attached chip; every roofline
+    ``sol_fraction`` divides by the paper number and self-flagellates if
+    the practical ceiling is lower (VERDICT r3 missing-item 1).  This
+    probe times bare streaming loops — the cheapest possible kernels —
+    fully fenced with the array itself as the ``fori_loop`` carry so every
+    iteration must materialize its output to HBM:
+
+    * ``stream_f32``: c' = c·a + b            — read N + write N per iter
+    * ``triad_f32``:  c' = c + x·(1 + i)      — read 2N + write N
+    * ``stream_u8``:  c' = c + 1 (int8)       — read N + write N
+
+    The reported ceiling is the max achieved GB/s across variants; a value
+    above the paper peak would prove the fence collapsed (asserted).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_f32 = footprint_bytes // 4
+    rows = n_f32 // LANES_FOR_STREAM
+    rng = np.random.default_rng(7)
+    x32 = jnp.asarray(
+        rng.standard_normal((rows, LANES_FOR_STREAM)).astype(np.float32)
+    )
+    x8 = jnp.asarray(
+        rng.integers(-100, 100, size=(4 * rows, LANES_FOR_STREAM)).astype(
+            np.int8
+        )
+    )
+
+    def bench(step, x0, aux, nbytes_per_iter):
+        # aux rides as a jit ARGUMENT — a closure capture would inline a
+        # footprint-sized constant into the HLO (too large for the remote
+        # compile service, and wrong for caching).
+        def chained(c0, a):
+            c = jax.lax.fori_loop(0, chain, lambda i, c: step(i, c, a), c0)
+            return jnp.sum(c.astype(jnp.float32))
+
+        f = jax.jit(chained)
+        float(f(x0, aux))  # compile + warm
+        best = 1e9
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            float(f(x0, aux))
+            best = min(best, time.perf_counter() - t0)
+        per_iter = best / chain
+        return {
+            "measured_s": per_iter,
+            "bytes": nbytes_per_iter,
+            "achieved_gbs": nbytes_per_iter / per_iter / 1e9,
+        }
+
+    zero = jnp.zeros((1, 1), jnp.float32)
+    out = {
+        "footprint_bytes": footprint_bytes,
+        "chain": chain,
+        "variants": {},
+    }
+    out["variants"]["stream_f32"] = bench(
+        lambda i, c, a: c * jnp.float32(1.000001) + jnp.float32(0.5),
+        x32,
+        zero,
+        2 * footprint_bytes,
+    )
+    out["variants"]["triad_f32"] = bench(
+        lambda i, c, a: c + a * (jnp.float32(1.0) + i.astype(jnp.float32)),
+        x32,
+        x32,
+        3 * footprint_bytes,
+    )
+    out["variants"]["stream_u8"] = bench(
+        lambda i, c, a: c + jnp.int8(1), x8, zero, 2 * footprint_bytes
+    )
+    ceiling = max(v["achieved_gbs"] for v in out["variants"].values())
+    assert ceiling <= HBM_PEAK_GBS * 1.05, (
+        f"stream probe reports {ceiling:.0f} GB/s > paper peak "
+        f"{HBM_PEAK_GBS} — the fence collapsed; fix the probe"
+    )
+    out["ceiling_gbs"] = ceiling
+    return out
 
 
 def run_jpeg_forward_roofline(
@@ -360,6 +450,16 @@ def run_jpeg_forward_roofline(
         "note": "tunnel d2h, RTT-inclusive; not part of the device chain",
     }
 
+    # -- measured HBM-stream ceiling (the platform's real bandwidth) ------
+    # A bare fenced streaming loop at the production footprint — the
+    # denominator every memory-bound stage should honestly be judged
+    # against, alongside the paper 819 GB/s (VERDICT r3 missing-item 1).
+    print("timing hbm_stream ceiling ...", flush=True)
+    hbm_probe = measure_hbm_stream_ceiling(
+        footprint_bytes=min(512 << 20, 4 * npix), chain=16
+    )
+    hbm_measured_gbs = hbm_probe["ceiling_gbs"]
+
     # -- roofline arithmetic ----------------------------------------------
     for name, st in stages.items():
         t = st["measured_s"]
@@ -375,6 +475,13 @@ def run_jpeg_forward_roofline(
         )
         st["speed_of_light_s"] = sol
         st["sol_fraction"] = sol / t
+        # Same arithmetic against the MEASURED stream ceiling: what the
+        # platform demonstrably sustains on a bare fenced copy loop.
+        sol_m = max(
+            st["bytes"] / (hbm_measured_gbs * 1e9),
+            st["flops"] / (MXU_PEAK_TFLOPS * 1e12),
+        )
+        st["sol_fraction_measured"] = sol_m / t
         st["bound"] = (
             "memory"
             if st["bytes"] / (HBM_PEAK_GBS * 1e9)
@@ -390,7 +497,12 @@ def run_jpeg_forward_roofline(
         "batch": batch,
         "chain": chain,
         "backend": jax.default_backend(),
-        "peaks": {"hbm_gbs": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_TFLOPS},
+        "peaks": {
+            "hbm_gbs": HBM_PEAK_GBS,
+            "hbm_gbs_measured": hbm_measured_gbs,
+            "mxu_bf16_tflops": MXU_PEAK_TFLOPS,
+        },
+        "hbm_stream_ceiling": hbm_probe,
         "mpix_per_iter": npix / 1e6,
         "fencing_note": (
             "every stage fence reduces the stage's FULL output (pairs, not "
@@ -411,15 +523,23 @@ def run_jpeg_forward_roofline(
 
     print(f"\nJPEG forward roofline — {size}² × batch {batch} "
           f"({npix/1e6:.0f} MPix/iter) on {result['backend']}")
+    print(f"measured HBM stream ceiling: {hbm_measured_gbs:.0f} GB/s "
+          f"(paper {HBM_PEAK_GBS:.0f})")
     print(f"{'stage':14s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
-          f"{'SoL ms':>7s} {'SoL%':>6s}  bound")
+          f"{'SoL ms':>7s} {'SoL%':>6s} {'mSoL%':>6s}  bound")
     for name in (*device_stages, "sort_ceiling", "full_forward", "readback_d2h"):
         st = stages[name]
         sol_ms = f"{st['speed_of_light_s']*1e3:7.2f}" if st["speed_of_light_s"] else "      -"
         sol_pc = f"{st['sol_fraction']*100:5.1f}%" if st["sol_fraction"] else "     -"
+        msol_pc = (
+            f"{st['sol_fraction_measured']*100:5.1f}%"
+            if st.get("sol_fraction_measured")
+            else "     -"
+        )
         print(
             f"{name:14s} {st['measured_s']*1e3:8.2f} {st['achieved_gbs']:7.1f} "
-            f"{st['achieved_tflops']:8.2f} {sol_ms} {sol_pc}  {st.get('bound','-')}"
+            f"{st['achieved_tflops']:8.2f} {sol_ms} {sol_pc} {msol_pc}  "
+            f"{st.get('bound','-')}"
         )
     print(f"limiting stage: {limiter}; "
           f"fusion gap {result['fusion_gap_s']*1e3:+.2f} ms; "

@@ -104,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "headline", "lz4", "lz4-device", "lz4-file", "lz4t-decode",
             "jpeg", "jpeg-inverse", "jpeg-perblock", "scaling", "roofline",
-            "entropy-ab",
+            "entropy-ab", "golden",
         ],
         default="headline",
     )
@@ -244,6 +244,15 @@ def _cmd_bench(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", env_platforms)
+    # Persistent XLA cache: TPU compiles on this tunnel are slow (~20-40 s,
+    # with occasional multi-minute compile-service stalls); every bench
+    # suite runs under the cache so re-launches accumulate progress.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/lz4jpeg_jax_cache"
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.suite == "headline":
         import bench as headline  # repo-root bench.py
 
@@ -253,6 +262,11 @@ def _cmd_bench(args) -> int:
         from lz4jpeg_tpu.bench.roofline import run_jpeg_forward_roofline
 
         run_jpeg_forward_roofline(output=args.output)
+        return 0
+    if args.suite == "golden":
+        from lz4jpeg_tpu.bench.golden import run_golden_images
+
+        run_golden_images(runs=args.runs, output=args.output)
         return 0
     if args.suite == "entropy-ab":
         from lz4jpeg_tpu.bench.entropy_ab import run_entropy_ab
