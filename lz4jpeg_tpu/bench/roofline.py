@@ -551,3 +551,277 @@ def run_jpeg_forward_roofline(
             json.dump(result, f, indent=1)
         print(f"wrote {output}")
     return result
+
+
+def run_jpeg_inverse_roofline(
+    size: int = 2048,
+    batch: int = 64,
+    chain: int = 8,
+    output: Optional[str] = None,
+) -> Dict:
+    """Per-stage fenced roofline of the device decode chain (VERDICT r3
+    item 3): RLE expansion butterfly → fused IDCT matmul → YCbCr merge,
+    the same instrumentation the forward got in rounds 1-3.
+
+    Every stage is data-oblivious (the expansion butterfly's routing
+    network, the IDCT matmul, and the elementwise color merge all do
+    identical work regardless of content), so the chain carry perturbs
+    inputs by XOR-ing the packed value field's LSB — iterations cannot be
+    CSE'd/hoisted, and the perturbed streams stay shape-valid.
+    Stage byte counts follow the forward convention: inputs read once +
+    outputs written once at the declared stage interfaces.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lz4jpeg_tpu.config import JPEGConfig
+    from lz4jpeg_tpu.models.jpeg import (
+        CHANNELS,
+        JPEGPipeline,
+        inverse_channel,
+    )
+    from lz4jpeg_tpu.ops.color import ycbcr_to_rgb_mcus
+    from lz4jpeg_tpu.utils.inputs import generate_noise_image
+
+    pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    assert pipeline._pack16, "inverse roofline expects the pack16 layout"
+    rng = np.random.default_rng(0)
+    img = generate_noise_image(size, size, rng)
+    slim = jax.block_until_ready(pipeline._forward_rle(jnp.asarray(img)))
+    # One batch axis worth of real encoded streams (tiled — the decode is
+    # content-oblivious, so tiling does not change the work).
+    rle = {c: jnp.tile(slim[c][0], (batch, 1)) for c in CHANNELS}
+    lens = {c: jnp.tile(slim[c][1], (batch,)) for c in CHANNELS}
+    bpc = bpr = size // 8
+    npix = batch * size * size
+
+    stages: Dict[str, Dict] = {}
+
+    def decode_all(rle_d, lens_d):
+        return {
+            c: pipeline._rle_decode_fn(
+                rle_d[c], lens_d[c], rle_d[c].shape[-1], True
+            )
+            for c in CHANNELS
+        }
+
+    # -- stage 1: RLE expansion (packed u16 pairs → zigzag coefficients) --
+    def expand_body(data, c, s):
+        r, ln = data
+        r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
+        zz = decode_all(r, ln)
+        s = s + sum(jnp.sum(z.astype(jnp.float32)) for z in zz.values())
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing rle_expand ...", flush=True)
+    stages["rle_expand"] = {
+        "measured_s": _chain_bench_u16(expand_body, (rle, lens), chain),
+        "flops": 0,
+        # 2·npix u16 pair words in (luma npix + chroma npix/2 ×2),
+        # 2·npix i32 coefficients out.
+        "bytes": 4 * npix + 8 * npix,
+    }
+
+    # -- stage 2: fused inverse matmul (zz → u8 pixel tiles) --------------
+    zz0 = jax.jit(decode_all)(rle, lens)
+
+    def idct_body(zz, c, s):
+        out = {}
+        for name in CHANNELS:
+            z = zz[name] + c.astype(jnp.int32)
+            out[name] = inverse_channel(
+                z, name, pipeline._tables, jnp.float32, True
+            )
+        s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in out.values())
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing inverse_matmul ...", flush=True)
+    stages["inverse_matmul"] = {
+        "measured_s": _chain_bench_u16(idct_body, zz0, chain),
+        "flops": 2 * npix * 64 + 2 * npix * 32,
+        "bytes": 8 * npix + 2 * npix,  # i32 zz in, u8 tiles out
+    }
+
+    # -- stage 3: YCbCr merge (u8 tiles → RGB image) ----------------------
+    tiles0 = jax.jit(
+        lambda zz: {
+            name: inverse_channel(
+                zz[name], name, pipeline._tables, jnp.float32, True
+            )
+            for name in CHANNELS
+        }
+    )(zz0)
+
+    def merge_body(tiles, c, s):
+        def one(lum, r, b):
+            return ycbcr_to_rgb_mcus(
+                lum, r, b, bpc, bpr, size, size, jnp.float32
+            )
+
+        rgb = jax.vmap(one)(
+            (tiles["lum"] + c.astype(jnp.uint8)).reshape(batch, -1, 8, 8),
+            tiles["r"].reshape(batch, -1, 8, 4),
+            tiles["b"].reshape(batch, -1, 8, 4),
+        )
+        # Full-RGB fence: a single channel would DCE the Cb chain.
+        s = s + jnp.sum(rgb.astype(jnp.float32))
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing color_merge ...", flush=True)
+    stages["color_merge"] = {
+        "measured_s": _chain_bench_u16(merge_body, tiles0, chain),
+        "flops": 10 * npix,
+        "bytes": 2 * npix + 3 * npix,  # u8 tiles in, RGB u8 out
+    }
+
+    # -- whole inverse chain (what the device-decode bench times) ---------
+    def full_body(data, c, s):
+        r, ln = data
+        r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
+        rgb = jax.vmap(
+            lambda rr, ll: pipeline._inverse_impl(
+                rr, ll, bpc=bpc, bpr=bpr, height=size, width=size,
+                packed16=True,
+            )
+        )(
+            {k: v.reshape(batch, -1, v.shape[-1]) for k, v in r.items()},
+            {k: v.reshape(batch, -1) for k, v in ln.items()},
+        )
+        s = s + jnp.sum(rgb.astype(jnp.float32))
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing full_inverse ...", flush=True)
+    stages["full_inverse"] = {
+        "measured_s": _chain_bench_u16(full_body, (rle, lens), chain),
+        "flops": sum(
+            stages[k]["flops"]
+            for k in ("rle_expand", "inverse_matmul", "color_merge")
+        ),
+        "bytes": sum(
+            stages[k]["bytes"]
+            for k in ("rle_expand", "inverse_matmul", "color_merge")
+        ),
+    }
+
+    # Anti-DCE guard: the compiled full chain must still contain the
+    # Pallas expansion kernel (custom-call) or a sort — otherwise the
+    # fence stopped forcing the decode and the numbers are hollow.
+    f = _make_chained_u16(full_body, chain)
+    hlo = f.lower((rle, lens), jnp.uint16(0)).compile().as_text()
+    if jax.default_backend() == "tpu":
+        # Production decode is the Pallas expansion kernel (custom-call);
+        # its absence means the fence stopped forcing the expansion.
+        if hlo.count("custom-call") == 0:
+            raise RuntimeError(
+                "DCE guard: compiled inverse chain contains no expansion "
+                "kernel — the fence collapsed; numbers would be hollow."
+            )
+    elif hlo.count("dot(") + hlo.count(" dot(") == 0:
+        # CPU fallback decodes via the membership-einsum dots.
+        raise RuntimeError(
+            "DCE guard: compiled inverse chain contains no einsum decode."
+        )
+
+    print("timing hbm_stream ceiling ...", flush=True)
+    hbm_probe = measure_hbm_stream_ceiling(
+        footprint_bytes=min(512 << 20, 4 * npix), chain=16
+    )
+    hbm_measured_gbs = hbm_probe["ceiling_gbs"]
+
+    for name, st in stages.items():
+        t = st["measured_s"]
+        st["achieved_gbs"] = st["bytes"] / t / 1e9
+        st["achieved_tflops"] = st["flops"] / t / 1e12
+        sol = max(
+            st["bytes"] / (HBM_PEAK_GBS * 1e9),
+            st["flops"] / (MXU_PEAK_TFLOPS * 1e12),
+        )
+        st["speed_of_light_s"] = sol
+        st["sol_fraction"] = sol / t
+        sol_m = max(
+            st["bytes"] / (hbm_measured_gbs * 1e9),
+            st["flops"] / (MXU_PEAK_TFLOPS * 1e12),
+        )
+        st["sol_fraction_measured"] = sol_m / t
+        st["bound"] = (
+            "memory"
+            if st["bytes"] / (HBM_PEAK_GBS * 1e9)
+            >= st["flops"] / (MXU_PEAK_TFLOPS * 1e12)
+            else "compute"
+        )
+
+    device_stages = ("rle_expand", "inverse_matmul", "color_merge")
+    stage_sum = sum(stages[k]["measured_s"] for k in device_stages)
+    limiter = max(device_stages, key=lambda k: stages[k]["measured_s"])
+    result = {
+        "size": size,
+        "batch": batch,
+        "chain": chain,
+        "backend": jax.default_backend(),
+        "peaks": {
+            "hbm_gbs": HBM_PEAK_GBS,
+            "hbm_gbs_measured": hbm_measured_gbs,
+            "mxu_bf16_tflops": MXU_PEAK_TFLOPS,
+        },
+        "hbm_stream_ceiling": hbm_probe,
+        "mpix_per_iter": npix / 1e6,
+        "stages": stages,
+        "stage_sum_s": stage_sum,
+        "fusion_gap_s": stages["full_inverse"]["measured_s"] - stage_sum,
+        "limiting_stage": limiter,
+        "full_inverse_mpix_s": npix / 1e6 / stages["full_inverse"]["measured_s"],
+    }
+
+    print(f"\nJPEG inverse roofline — {size}² × batch {batch} "
+          f"({npix/1e6:.0f} MPix/iter) on {result['backend']}")
+    print(f"measured HBM stream ceiling: {hbm_measured_gbs:.0f} GB/s "
+          f"(paper {HBM_PEAK_GBS:.0f})")
+    print(f"{'stage':16s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
+          f"{'SoL%':>6s} {'mSoL%':>6s}  bound")
+    for name in (*device_stages, "full_inverse"):
+        st = stages[name]
+        print(
+            f"{name:16s} {st['measured_s']*1e3:8.2f} "
+            f"{st['achieved_gbs']:7.1f} {st['achieved_tflops']:8.2f} "
+            f"{st['sol_fraction']*100:5.1f}% "
+            f"{st['sol_fraction_measured']*100:5.1f}%  {st['bound']}"
+        )
+    print(f"limiting stage: {limiter}; "
+          f"fusion gap {result['fusion_gap_s']*1e3:+.2f} ms; "
+          f"inverse {result['full_inverse_mpix_s']:.0f} MPix/s")
+
+    if output:
+        with open(output, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {output}")
+    return result
+
+
+def _make_chained_u16(body, chain: int):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(x, c0):
+        def step(_, carry):
+            c, s = carry
+            return body(x, c, s)
+
+        _, s = jax.lax.fori_loop(0, chain, step, (c0, jnp.float32(0)))
+        return s
+
+    return jax.jit(chained)
+
+
+def _chain_bench_u16(body, data, chain: int, runs: int = 4) -> float:
+    """``_chain_bench`` with a uint16 carry (XOR-compatible with the
+    packed16 pair words)."""
+    import jax.numpy as jnp
+
+    f = _make_chained_u16(body, chain)
+    float(f(data, jnp.uint16(0)))
+    best = 1e9
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(f(data, jnp.uint16(0)))
+        best = min(best, time.perf_counter() - t0)
+    return best / chain

@@ -104,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "headline", "lz4", "lz4-device", "lz4-file", "lz4t-decode",
             "jpeg", "jpeg-inverse", "jpeg-perblock", "scaling", "roofline",
-            "entropy-ab", "golden",
+            "entropy-ab", "golden", "roofline-inverse",
         ],
         default="headline",
     )
@@ -262,6 +262,11 @@ def _cmd_bench(args) -> int:
         from lz4jpeg_tpu.bench.roofline import run_jpeg_forward_roofline
 
         run_jpeg_forward_roofline(output=args.output)
+        return 0
+    if args.suite == "roofline-inverse":
+        from lz4jpeg_tpu.bench.roofline import run_jpeg_inverse_roofline
+
+        run_jpeg_inverse_roofline(output=args.output)
         return 0
     if args.suite == "golden":
         from lz4jpeg_tpu.bench.golden import run_golden_images
