@@ -1,0 +1,255 @@
+"""In-VMEM bitonic sort prototype for the LZ4 matcher (VERDICT r4 item 1).
+
+Question: does a Pallas bitonic network over a (128, 128)-tiled 16 KiB
+block beat the bare ``lax.sort`` the production matcher is built on
+(34.1 ms single-operand / 46.5 ms two-operand at 2048×16384 int32,
+``results/lz4_matcher_roofline.json``)?
+
+Design under test:
+* each block's 16384 elements live as a (128, 128) i32 tile — every
+  bitonic partner exchange (XOR distance d) is then either a lane-axis
+  (d < 128) or sublane-axis (d ≥ 128) ``pltpu.roll`` pair + select, all
+  in VMEM, zero HBM between the 105 stages;
+* keys pack (bucket << 14) | position, so keys are unique and payload
+  routing can use ``key != new_key`` as the swap mask;
+* a second variant records the per-stage swap masks (bit-packed, 4 i32
+  planes) — the material for an un-sort by reverse replay at ~1/3 the
+  cost of a second sort (transpositions are involutions).
+
+Verified against ``lax.sort`` on the same data, then timed fenced.
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+LANES = 128
+ROWS = 128
+P = LANES * ROWS  # 16384
+
+
+def _kernel_sort(key_ref, pay_ref, okey_ref, opay_ref, *, record_masks):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = key_ref[...]
+    p = pay_ref[...]
+    shape = k.shape  # (R, 128, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lin = row * LANES + col
+
+    # Swap masks fold into 4 running int32 bit-planes as the sort runs
+    # (a list of 105 live masks would hold ~55 MB of VMEM and OOM).
+    acc = [None] * 4
+    stage = 0
+    for kk in range(1, 15):
+        up = (lin & (1 << kk)) == 0
+        for j in range(kk - 1, -1, -1):
+            d = 1 << j
+            if d < LANES:
+                sel = (col & d) != 0
+                k_part = jnp.where(
+                    sel,
+                    pltpu.roll(k, shift=d, axis=2),
+                    pltpu.roll(k, shift=LANES - d, axis=2),
+                )
+                p_part = jnp.where(
+                    sel,
+                    pltpu.roll(p, shift=d, axis=2),
+                    pltpu.roll(p, shift=LANES - d, axis=2),
+                )
+            else:
+                r = d // LANES
+                sel = (row & r) != 0
+                k_part = jnp.where(
+                    sel,
+                    pltpu.roll(k, shift=r, axis=1),
+                    pltpu.roll(k, shift=ROWS - r, axis=1),
+                )
+                p_part = jnp.where(
+                    sel,
+                    pltpu.roll(p, shift=r, axis=1),
+                    pltpu.roll(p, shift=ROWS - r, axis=1),
+                )
+            is_lower = (lin & d) == 0
+            take_min = is_lower == up
+            k_new = jnp.where(
+                take_min, jnp.minimum(k, k_part), jnp.maximum(k, k_part)
+            )
+            swap = k_new != k  # keys are unique by construction
+            p = jnp.where(swap, p_part, p)
+            k = k_new
+            if record_masks:
+                w, b = divmod(stage, 32)
+                bit = swap.astype(jnp.int32) << b
+                acc[w] = bit if acc[w] is None else (acc[w] | bit)
+            stage += 1
+    okey_ref[...] = k
+    if not record_masks:
+        opay_ref[...] = p
+        return
+
+    # Reverse replay: transpositions are involutions — applying the same
+    # swaps in reverse stage order restores original positions.  The
+    # replayed payload must equal the INPUT payload exactly (asserted by
+    # the caller); its cost models the matcher's un-sort at ~1/3 of a
+    # second sort.
+    stage = 105
+    for kk in range(14, 0, -1):
+        for j in range(0, kk):
+            stage -= 1
+            d = 1 << j
+            w, b = divmod(stage, 32)
+            swap = ((acc[w] >> b) & 1) != 0
+            if d < LANES:
+                sel = (col & d) != 0
+                p_part = jnp.where(
+                    sel,
+                    pltpu.roll(p, shift=d, axis=2),
+                    pltpu.roll(p, shift=LANES - d, axis=2),
+                )
+            else:
+                r = d // LANES
+                sel = (row & r) != 0
+                p_part = jnp.where(
+                    sel,
+                    pltpu.roll(p, shift=r, axis=1),
+                    pltpu.roll(p, shift=ROWS - r, axis=1),
+                )
+            p = jnp.where(swap, p_part, p)
+    opay_ref[...] = p
+
+
+def make_sort(batch_r, record_masks=False, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec(
+        (batch_r, ROWS, LANES), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def call(key, pay):
+        b = key.shape[0]
+        return pl.pallas_call(
+            functools.partial(_kernel_sort, record_masks=record_masks),
+            grid=(b // batch_r,),
+            in_specs=[spec, spec],
+            out_specs=(spec, spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, ROWS, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((b, ROWS, LANES), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(key, pay)
+
+    return jax.jit(call)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lz4jpeg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B = 2048  # 2048 blocks × 16 KiB = 33.55 MB (the roofline's footprint)
+    pos = np.tile(np.arange(P, dtype=np.int64), (B, 1))
+    bucket = rng.integers(0, 1 << 16, size=(B, P), dtype=np.int64)
+    key_np = ((bucket << 14) | pos).astype(np.int32)
+    pay_np = rng.integers(-(2**31), 2**31, size=(B, P)).astype(np.int32)
+
+    key = jnp.asarray(key_np.reshape(B, ROWS, LANES))
+    pay = jnp.asarray(pay_np.reshape(B, ROWS, LANES))
+
+    # --- correctness on a small batch -----------------------------------
+    small_k = key[:8]
+    small_p = pay[:8]
+    f = make_sort(batch_r=8)
+    ok, op = jax.block_until_ready(f(small_k, small_p))
+    ref_k, ref_p = jax.lax.sort(
+        (jnp.asarray(key_np[:8]), jnp.asarray(pay_np[:8])),
+        dimension=1, num_keys=1,
+    )
+    ok_lin = np.asarray(ok).reshape(8, P)
+    op_lin = np.asarray(op).reshape(8, P)
+    assert (ok_lin == np.asarray(ref_k)).all(), "key sort mismatch"
+    assert (op_lin == np.asarray(ref_p)).all(), "payload routing mismatch"
+    print("correctness OK (vs lax.sort, 8 blocks)")
+
+    # --- timing ----------------------------------------------------------
+    def fence_time(fn, *args, chain=4, runs=4):
+        def chained(a0, a1):
+            s = jnp.float32(0)
+            outs = fn(a0, a1)
+            s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return s
+
+        g = jax.jit(chained)
+        float(g(*args))
+        best = 1e9
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            float(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for br in (8, 16):
+        f = make_sort(batch_r=br)
+        t = fence_time(f, key, pay)
+        mbs = B * P / t / 1e6
+        print(f"pallas bitonic 2-op  R={br}: {t*1e3:8.2f} ms "
+              f"({mbs:7.1f} M elem/s)  [lax.sort 2-op baseline 46.5 ms]")
+
+    # --- sort + reverse-replay (the un-sort at ~1/3 of a second sort) ---
+    fm = make_sort(batch_r=8, record_masks=True)
+    ok2, op2 = jax.block_until_ready(fm(small_k, small_p))
+    assert (np.asarray(ok2).reshape(8, P) == ok_lin).all(), "replay: keys"
+    # The replayed payload must land back at its ORIGINAL position.
+    assert (np.asarray(op2) == np.asarray(small_p)).all(), (
+        "replay is not the inverse permutation"
+    )
+    print("sort+replay correctness OK (payload returned to origin)")
+
+    t = fence_time(fm, key, pay)
+    print(f"pallas bitonic 2-op + reverse replay R=8: {t*1e3:8.2f} ms "
+          f"({B*P/t/1e6:7.1f} M elem/s)  "
+          f"[vs sort+sort ≈ 93 ms in the current matcher]")
+
+    # bare lax.sort same data for an in-situ baseline
+    def lax2(k2, p2):
+        return jax.lax.sort((k2, p2), dimension=1, num_keys=1)
+
+    def fence_time3(fn, *args, runs=4):
+        def chained(a0, a1):
+            outs = fn(a0, a1)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+        g = jax.jit(chained)
+        float(g(*args))
+        best = 1e9
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            float(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = fence_time3(jax.jit(lax2), jnp.asarray(key_np), jnp.asarray(pay_np))
+    print(f"lax.sort 2-op (B={B}, P={P}): {t*1e3:8.2f} ms "
+          f"({B*P/t/1e6:7.1f} M elem/s)")
+
+
+if __name__ == "__main__":
+    main()
