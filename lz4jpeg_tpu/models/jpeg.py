@@ -369,9 +369,43 @@ class JPEGPipeline:
         packed16: bool = False,
     ) -> jnp.ndarray:
         """Padded RLE pairs → reconstructed RGB.  Mirrors the inverse chain
-        JPEG.c:1348-1428."""
+        JPEG.c:1348-1428.
+
+        On TPU with the pack16 layout and ``bpr % 128 == 0`` the whole
+        chain runs in PLANE view — KT-output decode butterfly → plane
+        inverse einsum → plane color merge — with no per-MCU tile
+        relayout anywhere (the decode mirror of the round-3 plane
+        forward; ``merge_mcus`` measured 8.6 GB/s vs the 386 GB/s stream
+        ceiling and dominated decode, ``results/roofline_jpeg_inverse
+        .json``)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
+        plane_ok = (
+            packed16
+            and fused
+            and self._pallas_rle
+            and bpr % 128 == 0
+            and rle["lum"].shape[-2] == bpc * bpr
+            and rle["lum"].shape[-1] == 64
+        )
+        if plane_ok:
+            from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
+            from lz4jpeg_tpu.ops.fused import fused_inverse_plane_jnp
+            from lz4jpeg_tpu.ops.pallas_rle import (
+                rle_decode_packed16_pallas_plane,
+            )
+
+            planes = {}
+            for name in CHANNELS:
+                tw = _CHANNEL_SHAPES[name][1]
+                zz_kt = rle_decode_packed16_pallas_plane(rle[name], bpr)
+                planes[name] = fused_inverse_plane_jnp(
+                    zz_kt, self._tables[name], tw, dtype
+                )
+            return ycbcr_planes_to_rgb(
+                planes["lum"], planes["r"], planes["b"],
+                height, width, dtype,
+            )
         rec = {}
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]

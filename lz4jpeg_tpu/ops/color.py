@@ -89,6 +89,37 @@ def merge_mcus(tiles: jnp.ndarray, bpc: int, bpr: int) -> jnp.ndarray:
     )
 
 
+def ycbcr_planes_to_rgb(
+    y_plane: jnp.ndarray,
+    cr_sub: jnp.ndarray,
+    cb_sub: jnp.ndarray,
+    height: int,
+    width: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Plane-view YCbCr → RGB merge (``assemble_image``,
+    JPEG.c:598-604) — identical arithmetic to ``ycbcr_to_rgb_mcus`` but
+    fed reconstructed PLANES, so there is no ``merge_mcus`` tile
+    relayout anywhere in the inverse chain (the decode mirror of the
+    round-3 plane-view forward; the tile path's merge measured 8.6 GB/s
+    vs the 386 GB/s stream ceiling, ``results/roofline_jpeg_inverse
+    .json``)."""
+    y = y_plane.astype(jnp.int32)
+    cr = jnp.repeat(cr_sub, 2, axis=1).astype(dtype)
+    cb = jnp.repeat(cb_sub, 2, axis=1).astype(dtype)
+
+    cr_term = jnp.trunc(1.402 * (cr - 128)).astype(jnp.int32)
+    g_cb = jnp.trunc(0.344136 * (cb - 128)).astype(jnp.int32)
+    g_cr = jnp.trunc(0.714136 * (cr - 128)).astype(jnp.int32)
+    cb_term = jnp.trunc(1.772 * (cb - 128)).astype(jnp.int32)
+
+    rr = jnp.clip(y + cr_term, 0, 255)
+    gg = jnp.clip(y - g_cb - g_cr, 0, 255)
+    bb = jnp.clip(y + cb_term, 0, 255)
+    rgb = jnp.stack([rr, gg, bb], axis=-1).astype(jnp.uint8)
+    return rgb[:height, :width]
+
+
 def ycbcr_to_rgb_mcus(
     lum: jnp.ndarray,
     r: jnp.ndarray,

@@ -146,6 +146,35 @@ def fused_forward_plane_jnp(
     return jnp.trunc(ratio)
 
 
+def fused_inverse_plane_jnp(
+    zz_kt: jnp.ndarray, table: np.ndarray, width: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Plane-view fused inverse: (bh, HW, bw) KT-layout zigzag quantized
+    coefficients → (8·bh, width·bw) uint8 channel plane, WITHOUT the
+    per-MCU tile relayout (``merge_mcus``) — the decode mirror of
+    ``fused_forward_plane_jnp``.  The einsum's output axes (a, u, b, v)
+    reshape straight into the plane: row = 8a+u, col = width·b+v, both
+    contiguous merges.
+
+    Bit-identical to ``fused_inverse_jnp`` + ``merge_mcus`` of the same
+    coefficients (same contraction, precision="highest", same C-round
+    semantics; asserted on-chip in ``results/formulation_ab.json``).
+    """
+    minv = inverse_basis(width, 8, _table_key(table))
+    bh, hw, bw = zz_kt.shape
+    mi = jnp.asarray(minv.T.reshape(hw, 8, width), dtype)
+    pix = jnp.einsum(
+        "akb,kuv->aubv", zz_kt.astype(dtype), mi, precision="highest"
+    ) + 128.0
+    rounded = jnp.sign(pix) * jnp.floor(jnp.abs(pix) + 0.5)
+    return (
+        jnp.clip(rounded, 0, 255)
+        .astype(jnp.uint8)
+        .reshape(8 * bh, width * bw)
+    )
+
+
 def fused_inverse_jnp(
     zz: jnp.ndarray, table: np.ndarray, width: int, height: int,
     dtype=jnp.float32,

@@ -431,6 +431,117 @@ def _rle_decode_kt_call(packed_i16: jnp.ndarray, *, interpret: bool):
     )(packed_i16, ltx)
 
 
+def _rle_decode_kt_plane_kernel(p_ref, ltx_ref, zz_ref, *, seg: int,
+                                bw: int, slabs: int):
+    """(slabs·bw, K) packed pairs → (slabs, K, bw) int16 zigzag — the
+    decode butterfly with its output left in the KT (plane) layout.
+
+    The decode math already runs transposed ((K, rows) with pair slots on
+    sublanes); the row-major variant pays a final transpose back, but the
+    plane-view inverse chain (``ops/fused.py::fused_inverse_plane_jnp``)
+    consumes exactly this orientation, so each block-row slab is stored
+    as a static lane slice instead — no transpose anywhere."""
+    nbits = seg.bit_length() - 1
+    x = p_ref[:].astype(jnp.int32) & 0xFFFF
+    xt = x.T  # (K, slabs·bw)
+    m = jax.lax.broadcasted_iota(jnp.int32, xt.shape, dimension=0)
+    valid = xt != 0
+    counts = jnp.where(valid, (xt >> 10) + 1, 0)
+    vals = jnp.where(valid, (xt & 0x3FF) - PACK16_VALUE_BIAS, 0)
+    incl = jnp.dot(
+        ltx_ref[:],
+        counts.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    starts = incl - counts
+    total = jnp.max(incl, axis=0, keepdims=True)
+    dist = jnp.where(valid, starts - m, 0)
+    word = jnp.where(
+        valid, dist | ((vals + 512) << _VAL_SH) | _VALID, 0
+    )
+    for b in range(nbits - 1, -1, -1):
+        step = 1 << b
+        incoming = pltpu.roll(word, shift=step, axis=0)
+        ok = m >= step
+        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
+        depart = ((word & _VALID) != 0) & ((word & step) != 0)
+        word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
+    out = jnp.where(
+        (word & _VALID) != 0,
+        ((word >> _VAL_SH) & 0x3FF) - PACK16_VALUE_BIAS,
+        0,
+    )
+    have = (word & _VALID) >> 23
+    for b in range(nbits):
+        step = 1 << b
+        src_out = pltpu.roll(out, shift=step, axis=0)
+        src_have = pltpu.roll(have, shift=step, axis=0)
+        take = (1 - have) * jnp.where(m >= step, src_have, 0)
+        out = jnp.where(take != 0, src_out, out)
+        have = have | take
+    out = jnp.where(m < total, out, 0).astype(jnp.int16)
+    for i in range(slabs):
+        zz_ref[i, :, :] = out[:, i * bw : (i + 1) * bw]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bw", "interpret")
+)
+def _rle_decode_kt_plane_call(
+    packed_i16: jnp.ndarray, *, bw: int, interpret: bool
+):
+    n, seg = packed_i16.shape
+    bh = n // bw
+    # Slabs per grid step: ≥256K elements each, while dividing bh.
+    slabs = max(1, (1 << 18) // (bw * seg))
+    while bh % slabs:
+        slabs -= 1
+    spec = pl.BlockSpec(
+        (slabs * bw, seg), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (slabs, seg, bw), lambda r: (r, 0, 0), memory_space=pltpu.VMEM
+    )
+    lt_spec = pl.BlockSpec(
+        (seg, seg), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    j = jnp.arange(seg)[:, None]
+    s = jnp.arange(seg)[None, :]
+    ltx = (s <= j).astype(jnp.bfloat16)
+    return pl.pallas_call(
+        functools.partial(
+            _rle_decode_kt_plane_kernel, seg=seg, bw=bw, slabs=slabs
+        ),
+        grid=(bh // slabs,),
+        in_specs=[spec, lt_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, seg, bw), jnp.int16),
+        interpret=interpret,
+    )(packed_i16, ltx)
+
+
+def rle_decode_packed16_pallas_plane(
+    packed: jnp.ndarray, bw: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, K) packed uint16 pairs (N = bh·bw, block-row major) →
+    (bh, K, bw) int16 zigzag coefficients in the KT plane layout.
+
+    Requires ``bw % 128 == 0`` (lane tile for the sliced stores) and the
+    usual K constraints; callers fall back to the row-major kernel plus
+    relayout otherwise.
+    """
+    n, k = packed.shape
+    if bw % LANES or n % bw:
+        raise ValueError(f"bad plane shape: N={n}, bw={bw}")
+    if k & (k - 1) or k > MAX_SEG:
+        raise ValueError(f"bad pair width {k}")
+    return _rle_decode_kt_plane_call(
+        jax.lax.bitcast_convert_type(packed.astype(jnp.uint16), jnp.int16),
+        bw=bw,
+        interpret=interpret,
+    )
+
+
 def rle_decode_packed16_pallas(
     packed: jnp.ndarray, lengths: jnp.ndarray, out_size: int,
     interpret: bool = False,

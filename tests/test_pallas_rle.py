@@ -182,3 +182,92 @@ class TestPallasDecodeIdentity:
             rle_decode_packed16_pallas(
                 jnp.zeros((128, 64), jnp.uint16), None, 128, interpret=True
             )  # out_size != K
+
+
+class TestPlaneDecodeChain:
+    """KT-output decode butterfly + plane inverse einsum + plane color:
+    each piece bit-equal to the row-major/tile production path."""
+
+    def test_plane_decode_matches_rowmajor(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import (
+            rle_decode_packed16_pallas,
+            rle_decode_packed16_pallas_plane,
+        )
+        from lz4jpeg_tpu.ops.rle import rle_encode_packed16
+
+        bh, bw, k = 4, 128, 64
+        n = bh * bw
+        vals = rng.integers(-511, 512, size=(n, k)).astype(np.int16)
+        vals[::3] = np.repeat(
+            rng.integers(-511, 512, size=(n, k // 8)), 8, axis=1
+        )[::3].astype(np.int16)
+        packed, lengths = jax.jit(rle_encode_packed16)(jnp.asarray(vals))
+        row = np.asarray(
+            rle_decode_packed16_pallas(packed, lengths, k, interpret=True)
+        )
+        plane = np.asarray(
+            rle_decode_packed16_pallas_plane(packed, bw, interpret=True)
+        )
+        assert plane.shape == (bh, k, bw)
+        # plane[a, k, b] == row[a*bw + b, k]
+        np.testing.assert_array_equal(
+            plane, row.reshape(bh, bw, k).transpose(0, 2, 1)
+        )
+
+    def test_plane_inverse_matches_tile_path(self, rng):
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.models.jpeg import scaled_tables
+        from lz4jpeg_tpu.ops.color import (
+            merge_mcus,
+            ycbcr_planes_to_rgb,
+            ycbcr_to_rgb_mcus,
+        )
+        from lz4jpeg_tpu.ops.fused import (
+            fused_inverse_jnp,
+            fused_inverse_plane_jnp,
+        )
+
+        tables = scaled_tables(None)
+        bh, bw = 4, 128
+        h, w = 8 * bh, 8 * bw
+        n = bh * bw
+        zz = {
+            "lum": rng.integers(-200, 200, size=(n, 64)).astype(np.int32),
+            "r": rng.integers(-200, 200, size=(n, 32)).astype(np.int32),
+            "b": rng.integers(-200, 200, size=(n, 32)).astype(np.int32),
+        }
+        # Tile path (production fallback).
+        tiles = {
+            c: fused_inverse_jnp(
+                jnp.asarray(zz[c]), tables[c], tw, 8
+            )
+            for c, tw in (("lum", 8), ("r", 4), ("b", 4))
+        }
+        ref = np.asarray(
+            ycbcr_to_rgb_mcus(
+                tiles["lum"], tiles["r"], tiles["b"], bh, bw, h, w
+            )
+        )
+        # Plane path: KT layout in, planes out.
+        planes = {
+            c: fused_inverse_plane_jnp(
+                jnp.asarray(
+                    zz[c].reshape(bh, bw, -1).transpose(0, 2, 1)
+                ),
+                tables[c],
+                tw,
+            )
+            for c, tw in (("lum", 8), ("r", 4), ("b", 4))
+        }
+        # Plane tiles must equal merged tile-path tiles exactly.
+        np.testing.assert_array_equal(
+            np.asarray(planes["lum"]), np.asarray(merge_mcus(tiles["lum"], bh, bw))
+        )
+        got = np.asarray(
+            ycbcr_planes_to_rgb(planes["lum"], planes["r"], planes["b"], h, w)
+        )
+        np.testing.assert_array_equal(got, ref)
