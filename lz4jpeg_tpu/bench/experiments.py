@@ -108,6 +108,8 @@ def _write_reference_schema(
         {
             "name": r.name,
             scale_key: r.scale,
+            "runs": len(r.times_s),
+            "mean_method": "trimmed (drop min+max)",
             "execution_times": r.times_s,
             "mean": r.mean_s,
             "median": r.median_s,
@@ -122,7 +124,7 @@ def _write_reference_schema(
 
 def run_lz4_file_experiment(
     size_mb: int = 256,
-    runs: int = 3,
+    runs: int = 10,
     output: Optional[str] = None,
 ) -> dict:
     """File-level streaming encode+decode throughput at ≥256 MB
@@ -189,7 +191,7 @@ def run_lz4_file_experiment(
 
 def run_jpeg_perblock_experiment(
     sizes: Optional[List[int]] = None,
-    runs: int = 4,
+    runs: int = 10,
     output: Optional[str] = None,
     seed: int = 0,
 ) -> List[BenchResult]:
@@ -248,7 +250,7 @@ def run_jpeg_perblock_experiment(
 
 def run_lz4t_decode_device_experiment(
     sizes_mb: Optional[List[int]] = None,
-    runs: int = 6,
+    runs: int = 10,
     output: Optional[str] = None,
 ) -> List[BenchResult]:
     """Device-parallel LZ4T decode throughput (pointer-doubling resolve).
@@ -404,7 +406,7 @@ def run_jpeg_inverse_device_experiment(
 
 def run_lz4_device_experiment(
     batches: Optional[List[int]] = None,
-    runs: int = 6,
+    runs: int = 10,
     seed: int = 0,
     output: Optional[str] = None,
     lcp_words_list: Optional[List[int]] = None,

@@ -67,6 +67,15 @@ from lz4jpeg_tpu.oracle import jpeg_oracle
 CHANNELS = ("lum", "r", "b")
 _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
 
+# Pad-widened plane-path gates: the padded-work / real-work ratio up to
+# which the plane formulation (plus zero-pad to the Pallas kernels'
+# 128-lane tile) still beats the tile fallback — measured on-chip per
+# direction (profiles/profile_plane_pad.py; forward's tile path is fast,
+# decode's merge_mcus is 15× slower than everything else so nearly any
+# padding wins).
+PLANE_PAD_MAX_FWD = 1.2
+PLANE_PAD_MAX_INV = 2.0
+
 
 def scaled_tables(quality):
     """Per-channel quant tables for a quality setting (None = reference)."""
@@ -317,7 +326,20 @@ class JPEGPipeline:
             cr_sub = chroma_subsample_422(cr)
             cb_sub = chroma_subsample_422(cb)
             h, w = rgb.shape[:2]
-            if self._pallas_rle and h % 8 == 0 and w % 1024 == 0:
+            plane_fwd = False
+            if self._pallas_rle and h % 8 == 0 and w % 8 == 0:
+                bw_real = w // 8
+                pad_cols = (-bw_real) % 128
+                # Pad-widened plane path: zero block-columns pad bw to the
+                # kt kernel's 128-lane tile, their (64,0)-pair rows are
+                # sliced back out after the RLE kernel.  Worth it only
+                # while the padded work stays near the real work
+                # (measured crossover: results/formulation_ab.json::
+                # plane_pad_gate_round4).
+                plane_fwd = (
+                    (bw_real + pad_cols) / bw_real <= PLANE_PAD_MAX_FWD
+                )
+            if plane_fwd:
                 # Plane-view forward: the fused einsum contracts straight
                 # over the plane (no 8×8 tile relayout) and emits block
                 # positions along the middle axis — the exact layout the
@@ -336,12 +358,25 @@ class JPEGPipeline:
                     ("lum", y), ("r", cr_sub), ("b", cb_sub)
                 ):
                     tw = _CHANNEL_SHAPES[name][1]
+                    if pad_cols:
+                        plane = jnp.pad(
+                            plane, ((0, 0), (0, tw * pad_cols))
+                        )
                     zz_kt = fused_forward_plane_jnp(
                         plane, self._tables[name], tw, dtype
                     )
                     packed, lengths = rle_encode_packed16_pallas_kt(
                         zz_kt.astype(jnp.int16)
                     )
+                    if pad_cols:
+                        bwp = bw_real + pad_cols
+                        seg = packed.shape[-1]
+                        packed = packed.reshape(-1, bwp, seg)[
+                            :, :bw_real
+                        ].reshape(-1, seg)
+                        lengths = lengths.reshape(-1, bwp)[
+                            :, :bw_real
+                        ].reshape(-1)
                     out[name] = (packed, lengths.astype(jnp.int32))
                 return out
             lum, r, b = split_mcus(y, cr_sub, cb_sub)
@@ -380,13 +415,19 @@ class JPEGPipeline:
         .json``)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
+        pad_cols = (-bpr) % 128
         plane_ok = (
             packed16
             and fused
             and self._pallas_rle
-            and bpr % 128 == 0
             and rle["lum"].shape[-2] == bpc * bpr
             and rle["lum"].shape[-1] == 64
+            # Pad-widened plane decode: zero pair rows pad bpr to the
+            # kernel's 128-lane tile and the wider planes crop back.  The
+            # tile path's merge_mcus runs at 8.6 GB/s (roofline_jpeg_
+            # inverse.json), so the plane path wins even at 2× padded
+            # work; only tiny widths fall back.
+            and (bpr + pad_cols) / bpr <= PLANE_PAD_MAX_INV
         )
         if plane_ok:
             from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
@@ -395,10 +436,18 @@ class JPEGPipeline:
                 rle_decode_packed16_pallas_plane,
             )
 
+            bwp = bpr + pad_cols
             planes = {}
             for name in CHANNELS:
                 tw = _CHANNEL_SHAPES[name][1]
-                zz_kt = rle_decode_packed16_pallas_plane(rle[name], bpr)
+                pairs = rle[name]
+                if pad_cols:
+                    k = pairs.shape[-1]
+                    pairs = jnp.pad(
+                        pairs.reshape(bpc, bpr, k),
+                        ((0, 0), (0, pad_cols), (0, 0)),
+                    ).reshape(bpc * bwp, k)
+                zz_kt = rle_decode_packed16_pallas_plane(pairs, bwp)
                 planes[name] = fused_inverse_plane_jnp(
                     zz_kt, self._tables[name], tw, dtype
                 )
