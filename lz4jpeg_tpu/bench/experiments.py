@@ -429,6 +429,7 @@ def run_lz4_device_experiment(
     import jax.numpy as jnp
 
     from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks
+    from lz4jpeg_tpu.ops.pallas_match import fast_match_blocks_pallas
 
     corpus = load_corpus()
     results = []
@@ -437,11 +438,11 @@ def run_lz4_device_experiment(
     # 33 MB; the carry perturbs the input so iterations cannot be CSE'd,
     # and the full match-field checksum feeds the carry so nothing DCEs)
 
-    def make_fn(lcp):
+    def make_fn(matcher):
         def chained(b, l, c0):
             def body(_, carry):
                 c, s = carry
-                outs = fast_match_blocks(b ^ c, l, lcp_words=lcp)
+                outs = matcher(b ^ c, l)
                 s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
                 # Bounded carry: mod the float before the int cast — at
                 # 67 MB batches the raw checksum (~1e12) exceeds int32
@@ -454,8 +455,23 @@ def run_lz4_device_experiment(
 
         return jax.jit(chained)
 
-    for lcp in lcp_words_list or [4, 2]:
-        fn = make_fn(lcp)
+    # Series: the portable sort matcher at both carry widths, and the
+    # fused Pallas matcher (sort→candidates→replay in one kernel) at
+    # its stride ladder — Metamorphosis ratios per config committed in
+    # the README table (profiles/profile_pallas_match.py).
+    configs = [
+        (f"lz4_device_match_lcp{lcp}",
+         (lambda b, l, lcp=lcp: fast_match_blocks(b, l, lcp_words=lcp)))
+        for lcp in (lcp_words_list or [4, 2])
+    ]
+    if jax.default_backend() == "tpu":
+        configs += [
+            (f"lz4_device_match_fused_s{s}",
+             (lambda b, l, s=s: fast_match_blocks_pallas(b, l, stride=s)))
+            for s in (1, 2, 4)
+        ]
+    for name, matcher_fn in configs:
+        fn = make_fn(matcher_fn)
         for nblocks in batches or [64, 256, 1024, 4096, 8192]:
             p = 16384
             reps = -(-nblocks * p // len(corpus))
@@ -470,12 +486,12 @@ def run_lz4_device_experiment(
 
             mb = chain * nblocks * p / 1e6
             r = run_timed(
-                f"lz4_device_match_lcp{lcp}", step, scale=nblocks,
+                name, step, scale=nblocks,
                 runs=runs, work=mb, work_unit="MB",
             )
             results.append(r)
             print(
-                f"lz4 device match lcp{lcp} {mb:7.1f} MB/batch: mean "
+                f"{name} {mb:7.1f} MB/batch: mean "
                 f"{r.mean_s*1e3:8.2f} ms ({r.throughput:7.1f} MB/s fenced)"
             )
     if output:

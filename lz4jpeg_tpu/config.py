@@ -33,6 +33,16 @@ class LZ4Config:
     # encode, LZ4.c:24,683, and threads it to the frame/block/sequence
     # printers at :220-287).  None disables logging.
     log_path: Optional[str] = None
+    # Device match finder for fast mode: "fused" is the single-kernel
+    # Pallas sort→candidates→replay matcher (ops/pallas_match.py, TPU
+    # only — other backends silently use "sort"); "sort" is the
+    # two-``lax.sort`` formulation (ops/lz4_fast.py), portable and the
+    # best compression of the two (lcp_words=4 carry).
+    matcher: str = "fused"
+    # Anchor stride for the fused matcher: matches may start only every
+    # N-th byte (LZ4's "acceleration" idea).  1 = full quality; 2/4 trade
+    # measured ratio for large throughput gains (results/lz4_device.json).
+    match_stride: int = 1
 
     def __post_init__(self):
         # The reference rejects this exact value (LZ4.c:672-677, :1040-1045).
@@ -40,6 +50,12 @@ class LZ4Config:
             raise ValueError("block length cannot have the value 500")
         if self.mode not in ("parity", "fast"):
             raise ValueError(f"unknown LZ4 mode: {self.mode!r}")
+        if self.matcher not in ("sort", "fused"):
+            raise ValueError(f"unknown matcher: {self.matcher!r}")
+        if self.match_stride not in (1, 2, 4):
+            raise ValueError(
+                f"match_stride must be 1, 2 or 4: {self.match_stride}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

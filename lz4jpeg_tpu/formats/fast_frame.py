@@ -156,6 +156,11 @@ def emit_block_from_parse(
             continue
         length = int(emit_len[k])
         d = int(emit_dist[k])
+        # Backward extension first (recovers starts the anchor-strided
+        # matcher cannot mark), then forward extension past the carry cap.
+        while k > anchor and k > d and block[k - 1] == block[k - 1 - d]:
+            k -= 1
+            length += 1
         while k + length < n and block[k + length] == block[k + length - d]:
             length += 1
         _emit_sequence(out, block[anchor:k], d, length)

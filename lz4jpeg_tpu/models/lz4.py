@@ -42,13 +42,25 @@ from lz4jpeg_tpu.ops.match import greedy_parse, match_tables, pad_blocks
 
 
 @functools.lru_cache(maxsize=None)
-def _device_fast_encode():
+def _device_fast_encode(matcher: str = "sort", stride: int = 1):
     """Jitted matcher+compactor, cached at module scope so repeated
     ``encode(engine="tpu")`` calls reuse the compilation (jit caches by
     shape under one callable; a per-call ``@jax.jit`` retraces every time,
-    ~35 s per call on this stack)."""
+    ~35 s per call on this stack).
+
+    ``matcher="fused"`` routes through the single-kernel Pallas matcher
+    (ops/pallas_match.py) on TPU backends; other backends and
+    ``matcher="sort"`` use the portable two-``lax.sort`` formulation."""
     from lz4jpeg_tpu.ops.lz4_fast import compact_parse, fast_match_blocks
 
+    if matcher == "fused" and jax.default_backend() == "tpu":
+        from lz4jpeg_tpu.ops.pallas_match import fast_match_blocks_pallas
+
+        return jax.jit(
+            lambda b, l: compact_parse(
+                *fast_match_blocks_pallas(b, l, stride=stride)
+            )
+        )
     return jax.jit(lambda b, l: compact_parse(*fast_match_blocks(b, l)))
 
 
@@ -140,7 +152,9 @@ class LZ4Codec:
         pos_bits = (p - 1).bit_length()
 
         data_u8 = padded.astype(np.uint8)
-        pos_sorted, packed, counts = _device_fast_encode()(
+        pos_sorted, packed, counts = _device_fast_encode(
+            self.config.matcher, self.config.match_stride
+        )(
             jnp.asarray(data_u8), jnp.asarray(lengths)
         )
         max_count = int(jnp.max(counts))

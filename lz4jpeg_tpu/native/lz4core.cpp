@@ -532,9 +532,18 @@ int64_t lz4t_emit_block(const uint8_t* data, size_t n, const uint8_t* is_match,
       ++i;
       continue;
     }
-    size_t lit = i - anchor;
     size_t len = static_cast<size_t>(emit_len[i]);
     const size_t d = static_cast<size_t>(emit_dist[i]);
+    // Backward extension: the anchor-strided matcher can only start
+    // matches on its sampling grid; a real match beginning one byte
+    // earlier shows up here one byte short.  Pending literals are free
+    // to be re-consumed by the match as long as the distance-d
+    // prediction holds (standard LZ4 encoder move).
+    while (i > anchor && i > d && data[i - 1] == data[i - 1 - d]) {
+      --i;
+      ++len;
+    }
+    size_t lit = i - anchor;
     while (i + len < n && data[i + len] == data[i + len - d]) ++len;
     size_t ml = len - 4;
     if (w + 1 + lit / 255 + 3 + lit + 2 + ml / 255 + 2 > w_end)

@@ -236,36 +236,41 @@ def fast_match_blocks_pallas(
     rows = pa // LANES
     if rows & (rows - 1):
         raise ValueError(f"anchor rows ({rows}) must be a power of two")
-    idx = jnp.arange(p, dtype=jnp.int32)
-    x = blocks.astype(jnp.int32)
+    x = blocks if blocks.dtype == jnp.uint8 else blocks.astype(jnp.uint8)
+    aidx = jnp.arange(pa, dtype=jnp.int32)
 
-    def sh(k):
-        return jnp.pad(x[:, k:], ((0, 0), (0, k)))
+    def byte_at(c):
+        """(B, Pa) uint32: byte ``stride·a + c`` per anchor a (0 past
+        the end) — a strided slice, so the pre-pass reads Pa-sized
+        arrays instead of building full-grid packed words and slicing
+        (the packed-then-sliced formulation cost ~40 ms of XLA pre at
+        2048×16K)."""
+        col = x[:, c::stride][:, :pa].astype(jnp.uint32)
+        if col.shape[1] < pa:
+            col = jnp.pad(col, ((0, 0), (0, pa - col.shape[1])))
+        return col
 
-    def pack32(k):
+    def pack_anchor(k):
         return (
-            sh(k).astype(jnp.uint32)
-            | (sh(k + 1).astype(jnp.uint32) << 8)
-            | (sh(k + 2).astype(jnp.uint32) << 16)
-            | (sh(k + 3).astype(jnp.uint32) << 24)
+            byte_at(4 * k)
+            | (byte_at(4 * k + 1) << 8)
+            | (byte_at(4 * k + 2) << 16)
+            | (byte_at(4 * k + 3) << 24)
         )
 
-    w32 = pack32(0)
-    window_ok = idx[None, :] + 4 <= lengths[:, None]
-    h = (w32 * jnp.uint32(_HASH_MULT)) >> jnp.uint32(16)
-
-    # Anchor-grid views (every stride-th position).
-    aidx = jnp.arange(pa, dtype=jnp.int32)
-    h_a = h[:, ::stride].astype(jnp.int32)
-    ok_a = window_ok[:, ::stride]
+    w32_a = pack_anchor(0)
+    ok_a = aidx[None, :] * stride + 4 <= lengths[:, None]
+    h_a = (
+        (w32_a * jnp.uint32(_HASH_MULT)) >> jnp.uint32(16)
+    ).astype(jnp.int32)
     h_a = jnp.where(ok_a, h_a, 0x10000 + aidx[None, :])
     pos_bits = (pa - 1).bit_length()
     key = (h_a << pos_bits) | aidx[None, :]
     pays = [
-        jax.lax.bitcast_convert_type(
-            pack32(4 * k)[:, ::stride], jnp.int32
-        )
-        for k in range(lcp_words)
+        jax.lax.bitcast_convert_type(w32_a, jnp.int32)
+    ] + [
+        jax.lax.bitcast_convert_type(pack_anchor(k), jnp.int32)
+        for k in range(1, lcp_words)
     ]
 
     batch_r = max(d for d in range(1, min(8, b) + 1) if b % d == 0)
