@@ -206,9 +206,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    t16 = None
     for br in (8, 16):
         f = make_sort(batch_r=br)
         t = fence_time(f, key, pay)
+        t16 = t if t16 is None else min(t16, t)
         mbs = B * P / t / 1e6
         print(f"pallas bitonic 2-op  R={br}: {t*1e3:8.2f} ms "
               f"({mbs:7.1f} M elem/s)  [lax.sort 2-op baseline 46.5 ms]")
@@ -223,9 +225,9 @@ def main():
     )
     print("sort+replay correctness OK (payload returned to origin)")
 
-    t = fence_time(fm, key, pay)
-    print(f"pallas bitonic 2-op + reverse replay R=8: {t*1e3:8.2f} ms "
-          f"({B*P/t/1e6:7.1f} M elem/s)  "
+    t_replay = fence_time(fm, key, pay)
+    print(f"pallas bitonic 2-op + reverse replay R=8: {t_replay*1e3:8.2f} ms "
+          f"({B*P/t_replay/1e6:7.1f} M elem/s)  "
           f"[vs sort+sort ≈ 93 ms in the current matcher]")
 
     # bare lax.sort same data for an in-situ baseline
@@ -246,9 +248,43 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t = fence_time3(jax.jit(lax2), jnp.asarray(key_np), jnp.asarray(pay_np))
-    print(f"lax.sort 2-op (B={B}, P={P}): {t*1e3:8.2f} ms "
-          f"({B*P/t/1e6:7.1f} M elem/s)")
+    t_lax = fence_time3(
+        jax.jit(lax2), jnp.asarray(key_np), jnp.asarray(pay_np)
+    )
+    print(f"lax.sort 2-op (B={B}, P={P}): {t_lax*1e3:8.2f} ms "
+          f"({B*P/t_lax/1e6:7.1f} M elem/s)")
+
+    # Fold the probe into the committed matcher roofline artifact: this
+    # measurement SUPERSEDES the bare-lax.sort ceiling — the in-VMEM
+    # bitonic runs at lax.sort speed (the sort is compute-bound, not
+    # HBM-bound), and the matcher gain comes from the replay un-sort +
+    # kernel fusion + anchor stride instead (results/lz4_device.json).
+    import json
+
+    path = "/root/repo/results/lz4_matcher_roofline.json"
+    try:
+        with open(path) as f:
+            artifact = json.load(f)
+    except FileNotFoundError:
+        artifact = {}
+    artifact["pallas_probe_round4"] = {
+        "blocks": B,
+        "p": P,
+        "pallas_bitonic_2op_ms": t16 * 1e3,
+        "pallas_sort_plus_replay_ms": t_replay * 1e3,
+        "lax_sort_2op_same_script_ms": t_lax * 1e3,
+        "note": (
+            "in-VMEM (128,128)-tiled bitonic runs at lax.sort speed — "
+            "the bare sort is compute-bound on this chip; reverse-replay "
+            "un-sort costs ~1/4 of a second sort.  This supersedes the "
+            "'82-87% of bare-sort ceiling' framing: the ceiling moved by "
+            "changing the algorithm (replay + fusion + anchor stride), "
+            "not by moving the same network into VMEM."
+        ),
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"updated {path}")
 
 
 if __name__ == "__main__":
