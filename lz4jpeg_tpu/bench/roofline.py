@@ -597,6 +597,13 @@ def run_jpeg_inverse_roofline(
 
     stages: Dict[str, Dict] = {}
 
+    # Measure the stages of whichever path production takes: the plane
+    # chain (KT decode butterfly → plane einsum → plane color) when its
+    # gate holds, the tile chain otherwise — same stage names either way.
+    plane_path = (
+        getattr(pipeline, "_pallas_rle", False) and (size // 8) % 128 == 0
+    )
+
     def decode_all(rle_d, lens_d):
         return {
             c: pipeline._rle_decode_fn(
@@ -605,73 +612,144 @@ def run_jpeg_inverse_roofline(
             for c in CHANNELS
         }
 
-    # -- stage 1: RLE expansion (packed u16 pairs → zigzag coefficients) --
-    def expand_body(data, c, s):
-        r, ln = data
-        r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
-        zz = decode_all(r, ln)
-        s = s + sum(jnp.sum(z.astype(jnp.float32)) for z in zz.values())
-        return (s % 2).astype(jnp.uint16), s
+    if plane_path:
+        from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES
+        from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
+        from lz4jpeg_tpu.ops.fused import fused_inverse_plane_jnp
+        from lz4jpeg_tpu.ops.pallas_rle import (
+            rle_decode_packed16_pallas_plane,
+        )
 
+        bw = size // 8
+
+        def decode_all_plane(rle_d):
+            def one(pairs):
+                return rle_decode_packed16_pallas_plane(pairs, bw)
+
+            return {c: jax.vmap(one)(
+                rle_d[c].reshape(batch, -1, rle_d[c].shape[-1])
+            ) for c in CHANNELS}
+
+        def expand_body(data, c, s):
+            r, _ln = data
+            r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
+            zz = decode_all_plane(r)
+            s = s + sum(
+                jnp.sum(z.astype(jnp.float32)) for z in zz.values()
+            )
+            return (s % 2).astype(jnp.uint16), s
+
+        zz0 = jax.jit(decode_all_plane)(rle)
+
+        def plane_channels(zz, c):
+            out = {}
+            for name in CHANNELS:
+                tw = _CHANNEL_SHAPES[name][1]
+                z = zz[name] + c.astype(jnp.int16)
+                out[name] = jax.vmap(
+                    lambda zk, n=name, w=tw: fused_inverse_plane_jnp(
+                        zk, pipeline._tables[n], w, jnp.float32
+                    )
+                )(z)
+            return out
+
+        def idct_body(zz, c, s):
+            out = plane_channels(zz, c)
+            s = s + sum(
+                jnp.sum(o.astype(jnp.float32)) for o in out.values()
+            )
+            return (s % 2).astype(jnp.uint16), s
+
+        planes0 = jax.jit(
+            lambda zz: plane_channels(zz, jnp.int16(0))
+        )(zz0)
+
+        def merge_body(planes, c, s):
+            rgb = jax.vmap(
+                lambda y, r, b: ycbcr_planes_to_rgb(
+                    y, r, b, size, size, jnp.float32
+                )
+            )(
+                planes["lum"] + c.astype(jnp.uint8),
+                planes["r"],
+                planes["b"],
+            )
+            s = s + jnp.sum(rgb.astype(jnp.float32))
+            return (s % 2).astype(jnp.uint16), s
+
+        mid0 = planes0
+    else:
+        def expand_body(data, c, s):
+            r, ln = data
+            r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
+            zz = decode_all(r, ln)
+            s = s + sum(jnp.sum(z.astype(jnp.float32)) for z in zz.values())
+            return (s % 2).astype(jnp.uint16), s
+
+        zz0 = jax.jit(decode_all)(rle, lens)
+
+        def idct_body(zz, c, s):
+            out = {}
+            for name in CHANNELS:
+                z = zz[name] + c.astype(jnp.int32)
+                out[name] = inverse_channel(
+                    z, name, pipeline._tables, jnp.float32, True
+                )
+            s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in out.values())
+            return (s % 2).astype(jnp.uint16), s
+
+        tiles0 = jax.jit(
+            lambda zz: {
+                name: inverse_channel(
+                    zz[name], name, pipeline._tables, jnp.float32, True
+                )
+                for name in CHANNELS
+            }
+        )(zz0)
+
+        def merge_body(tiles, c, s):
+            def one(lum, r, b):
+                return ycbcr_to_rgb_mcus(
+                    lum, r, b, bpc, bpr, size, size, jnp.float32
+                )
+
+            rgb = jax.vmap(one)(
+                (tiles["lum"] + c.astype(jnp.uint8)).reshape(
+                    batch, -1, 8, 8
+                ),
+                tiles["r"].reshape(batch, -1, 8, 4),
+                tiles["b"].reshape(batch, -1, 8, 4),
+            )
+            # Full-RGB fence: a single channel would DCE the Cb chain.
+            s = s + jnp.sum(rgb.astype(jnp.float32))
+            return (s % 2).astype(jnp.uint16), s
+
+        mid0 = tiles0
+
+    # -- stage 1: RLE expansion (packed u16 pairs → zigzag coefficients) --
     print("timing rle_expand ...", flush=True)
     stages["rle_expand"] = {
         "measured_s": _chain_bench_u16(expand_body, (rle, lens), chain),
         "flops": 0,
         # 2·npix u16 pair words in (luma npix + chroma npix/2 ×2),
-        # 2·npix i32 coefficients out.
-        "bytes": 4 * npix + 8 * npix,
+        # 2·npix i16/i32 coefficients out.
+        "bytes": 4 * npix + (4 if plane_path else 8) * npix,
     }
 
-    # -- stage 2: fused inverse matmul (zz → u8 pixel tiles) --------------
-    zz0 = jax.jit(decode_all)(rle, lens)
-
-    def idct_body(zz, c, s):
-        out = {}
-        for name in CHANNELS:
-            z = zz[name] + c.astype(jnp.int32)
-            out[name] = inverse_channel(
-                z, name, pipeline._tables, jnp.float32, True
-            )
-        s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in out.values())
-        return (s % 2).astype(jnp.uint16), s
-
+    # -- stage 2: fused inverse matmul (zz → u8 pixels) -------------------
     print("timing inverse_matmul ...", flush=True)
     stages["inverse_matmul"] = {
         "measured_s": _chain_bench_u16(idct_body, zz0, chain),
         "flops": 2 * npix * 64 + 2 * npix * 32,
-        "bytes": 8 * npix + 2 * npix,  # i32 zz in, u8 tiles out
+        "bytes": (4 if plane_path else 8) * npix + 2 * npix,
     }
 
-    # -- stage 3: YCbCr merge (u8 tiles → RGB image) ----------------------
-    tiles0 = jax.jit(
-        lambda zz: {
-            name: inverse_channel(
-                zz[name], name, pipeline._tables, jnp.float32, True
-            )
-            for name in CHANNELS
-        }
-    )(zz0)
-
-    def merge_body(tiles, c, s):
-        def one(lum, r, b):
-            return ycbcr_to_rgb_mcus(
-                lum, r, b, bpc, bpr, size, size, jnp.float32
-            )
-
-        rgb = jax.vmap(one)(
-            (tiles["lum"] + c.astype(jnp.uint8)).reshape(batch, -1, 8, 8),
-            tiles["r"].reshape(batch, -1, 8, 4),
-            tiles["b"].reshape(batch, -1, 8, 4),
-        )
-        # Full-RGB fence: a single channel would DCE the Cb chain.
-        s = s + jnp.sum(rgb.astype(jnp.float32))
-        return (s % 2).astype(jnp.uint16), s
-
+    # -- stage 3: YCbCr merge (u8 pixels → RGB image) ---------------------
     print("timing color_merge ...", flush=True)
     stages["color_merge"] = {
-        "measured_s": _chain_bench_u16(merge_body, tiles0, chain),
+        "measured_s": _chain_bench_u16(merge_body, mid0, chain),
         "flops": 10 * npix,
-        "bytes": 2 * npix + 3 * npix,  # u8 tiles in, RGB u8 out
+        "bytes": 2 * npix + 3 * npix,  # u8 planes/tiles in, RGB u8 out
     }
 
     # -- whole inverse chain (what the device-decode bench times) ---------
@@ -758,6 +836,7 @@ def run_jpeg_inverse_roofline(
         "batch": batch,
         "chain": chain,
         "backend": jax.default_backend(),
+        "formulation": "plane" if plane_path else "tile",
         "peaks": {
             "hbm_gbs": HBM_PEAK_GBS,
             "hbm_gbs_measured": hbm_measured_gbs,
