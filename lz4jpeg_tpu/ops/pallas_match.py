@@ -218,7 +218,7 @@ def fast_match_blocks_pallas(
     blocks: jnp.ndarray,
     lengths: jnp.ndarray,
     max_dist: int = 65535,
-    stride: int = 2,
+    stride: int = 1,
     lcp_words: int = 2,
     seg: int = 512,
     interpret: bool = False,

@@ -66,13 +66,17 @@ def sharded_fast_parse(
     """Fast-mode (LZ4T) match finding with the block axis sharded.
 
     Same layout contract as ``sharded_block_parse`` but running the
-    sort-based hash-chain matcher (``ops/lz4_fast.py``) per shard —
-    16 KiB blocks are the natural DP unit for large inputs.  ``blocks``
-    row count must be a multiple of the mesh size.
+    fast-mode matcher (``ops/pallas_match.py``'s fused kernel on TPU
+    meshes, the portable sort formulation elsewhere) per shard — 16 KiB
+    blocks are the natural DP unit for large inputs.  ``blocks`` row
+    count must be a multiple of the mesh size.
     """
     from lz4jpeg_tpu.ops.lz4_fast import fast_match_blocks
 
     axis = mesh.axis_names[0]
+    use_fused = all(
+        d.platform == "tpu" for d in mesh.devices.flat
+    )
 
     @functools.partial(
         shard_map,
@@ -82,9 +86,18 @@ def sharded_fast_parse(
         check_vma=False,  # all_gather output is replicated (see above)
     )
     def parse_shard(shard, shard_lengths):
-        is_match, emit_len, emit_dist = fast_match_blocks(
-            shard, shard_lengths
-        )
+        if use_fused:
+            from lz4jpeg_tpu.ops.pallas_match import (
+                fast_match_blocks_pallas,
+            )
+
+            is_match, emit_len, emit_dist = fast_match_blocks_pallas(
+                shard, shard_lengths
+            )
+        else:
+            is_match, emit_len, emit_dist = fast_match_blocks(
+                shard, shard_lengths
+            )
         stacked = jnp.stack(
             [is_match.astype(jnp.int32), emit_len, emit_dist], axis=1
         )
