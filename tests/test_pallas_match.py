@@ -123,3 +123,27 @@ class TestShapes:
                 jnp.zeros((1, 100), jnp.int32), jnp.asarray([100]),
                 stride=2, interpret=True,
             )
+
+
+class TestConfigKnobs:
+    def test_matcher_validation(self):
+        from lz4jpeg_tpu.config import LZ4Config
+
+        with pytest.raises(ValueError):
+            LZ4Config(matcher="bogus")
+        with pytest.raises(ValueError):
+            LZ4Config(match_stride=3)
+        cfg = LZ4Config(matcher="fused", match_stride=4)
+        assert cfg.matcher == "fused" and cfg.match_stride == 4
+
+    def test_cpu_backend_falls_back_to_sort(self, corpus):
+        """matcher='fused' on a non-TPU backend silently uses the portable
+        sort matcher — encode must still round-trip."""
+        from lz4jpeg_tpu import LZ4Codec
+        from lz4jpeg_tpu.config import LZ4Config
+        from lz4jpeg_tpu.formats.fast_frame import decode_fast
+
+        data = corpus[:40000]
+        c = LZ4Codec(LZ4Config(mode="fast", matcher="fused"))
+        frame = c.encode(data, engine="tpu")
+        assert decode_fast(frame) == data
