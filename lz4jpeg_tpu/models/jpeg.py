@@ -353,14 +353,20 @@ class JPEGPipeline:
                     rle_encode_packed16_pallas_kt,
                 )
 
+                # Row padding keeps the kt kernel's grid chunking on
+                # 8-multiples (its runs output tiles sublanes by 8);
+                # padded rows/cols are zero blocks sliced out below.
+                bh_real = h // 8
+                pad_rows = (-bh_real) % 8
                 out = {}
                 for name, plane in (
                     ("lum", y), ("r", cr_sub), ("b", cb_sub)
                 ):
                     tw = _CHANNEL_SHAPES[name][1]
-                    if pad_cols:
+                    if pad_cols or pad_rows:
                         plane = jnp.pad(
-                            plane, ((0, 0), (0, tw * pad_cols))
+                            plane,
+                            ((0, 8 * pad_rows), (0, tw * pad_cols)),
                         )
                     zz_kt = fused_forward_plane_jnp(
                         plane, self._tables[name], tw, dtype
@@ -368,14 +374,14 @@ class JPEGPipeline:
                     packed, lengths = rle_encode_packed16_pallas_kt(
                         zz_kt.astype(jnp.int16)
                     )
-                    if pad_cols:
+                    if pad_cols or pad_rows:
                         bwp = bw_real + pad_cols
                         seg = packed.shape[-1]
                         packed = packed.reshape(-1, bwp, seg)[
-                            :, :bw_real
+                            :bh_real, :bw_real
                         ].reshape(-1, seg)
                         lengths = lengths.reshape(-1, bwp)[
-                            :, :bw_real
+                            :bh_real, :bw_real
                         ].reshape(-1)
                     out[name] = (packed, lengths.astype(jnp.int32))
                 return out

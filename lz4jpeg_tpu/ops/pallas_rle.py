@@ -241,10 +241,16 @@ def _rle_pack16_kt_call(zz_kt: jnp.ndarray, *, interpret: bool):
     rows, seg, cols = zz_kt.shape
     # Block-rows per grid step: target ≥256K coefficients so grid-step
     # overhead amortizes (the 1-row variant measured 13% slower end to
-    # end); VMEM stays ≤ ~2 MB per operand.
-    r_blk = max(1, min(rows, (1 << 18) // (seg * cols)))
-    while rows % r_blk:
-        r_blk -= 1
+    # end); VMEM stays ≤ ~2 MB per operand.  The runs output block is
+    # (r_blk, cols), so Mosaic needs r_blk % 8 == 0 — or one whole-array
+    # step (block == array dims is always legal) when ``rows`` has no
+    # suitable divisor (ragged block-row counts reach here via the
+    # pad-widened plane path).
+    r_max = max(1, min(rows, (1 << 18) // (seg * cols)))
+    r_blk = next(
+        (d for d in range(r_max, 0, -1) if rows % d == 0 and d % 8 == 0),
+        rows,
+    )
     in_spec = pl.BlockSpec(
         (r_blk, seg, cols), lambda r: (r, 0, 0), memory_space=pltpu.VMEM
     )

@@ -271,3 +271,26 @@ class TestPlaneDecodeChain:
             ycbcr_planes_to_rgb(planes["lum"], planes["r"], planes["b"], h, w)
         )
         np.testing.assert_array_equal(got, ref)
+
+    def test_kt_encode_ragged_rows(self, rng):
+        """Ragged block-row counts (prime rows — the pad-widened plane
+        path's 1080p/630p shapes) must fall back to whole-array grid
+        steps instead of violating Mosaic's sublane-8 tiling."""
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import (
+            rle_encode_packed16_pallas_kt,
+        )
+        from lz4jpeg_tpu.ops.rle import rle_encode_packed16
+
+        rows, seg, cols = 5, 64, 128  # rows prime-ish: no 8-divisor
+        zz_kt = rng.integers(
+            -300, 300, size=(rows, seg, cols)
+        ).astype(np.int16)
+        packed, lengths = rle_encode_packed16_pallas_kt(
+            jnp.asarray(zz_kt), interpret=True
+        )
+        row_major = np.transpose(zz_kt, (0, 2, 1)).reshape(-1, seg)
+        ref_p, ref_l = rle_encode_packed16(jnp.asarray(row_major))
+        np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref_p))
+        np.testing.assert_array_equal(np.asarray(lengths), np.asarray(ref_l))
