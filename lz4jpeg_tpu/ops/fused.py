@@ -160,12 +160,15 @@ def fused_inverse_plane_jnp(
     Same contraction, precision="highest", same C-round semantics as
     ``fused_inverse_jnp`` + ``merge_mcus``; on TPU the einsum's strided
     output layout makes XLA accumulate the 64-length dots in a different
-    association, which flips ~1 in 10⁵ pixels by ±1 at the round-half
-    boundary (measured at 512²: 31/4.2M luma pixels; CPU lowering is
-    bitwise identical).  The fast path's contract is "within a couple of
-    levels of exact f64" (tests/test_jpeg_pipeline.py), which both
-    formulations satisfy; speed is identical to the tile matmul
-    (10.4 vs 10.3 ms at 268 MPix) — the win is deleting ``merge_mcus``.
+    association, which flips ~1 in 10⁵ plane values by ±1 at the
+    round-half boundary (measured at 512²: 31/4.2M luma pixels; CPU
+    lowering is bitwise identical).  After the color combine the RGB
+    envelope vs the tile path is ±3 (G sums three independently
+    truncated terms) on ~2e-4 of pixels.  The fast path's contract is
+    "within a couple of levels of exact f64"
+    (tests/test_jpeg_pipeline.py), which both formulations satisfy;
+    speed is identical to the tile matmul (10.4 vs 10.3 ms at 268 MPix)
+    — the win is deleting ``merge_mcus``.
     """
     minv = inverse_basis(width, 8, _table_key(table))
     bh, hw, bw = zz_kt.shape

@@ -1,5 +1,12 @@
 """TPU fast-mode LZ4 match finding: gather-free sort-based hash chains.
 
+(Since round 4 this is the PORTABLE formulation — the production TPU
+default is the fused single-kernel matcher in ``ops/pallas_match.py``,
+which replaces the two ``lax.sort`` dispatches below with an in-VMEM
+bitonic + reverse-replay un-sort at 1.8-7× the throughput; this module
+remains the reference implementation the fused kernel is tested against,
+and the path every non-TPU backend runs.)
+
 The parity matcher (``ops/match.py``) materializes the full (P, P)
 match-length table per block — exact, but O(P²) memory, fine only for the
 reference's 300-byte blocks.  This module is the scalable fast-mode design
