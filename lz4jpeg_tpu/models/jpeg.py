@@ -74,7 +74,11 @@ _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
 # decode's merge_mcus is 15× slower than everything else so nearly any
 # padding wins).
 PLANE_PAD_MAX_FWD = 1.2
-PLANE_PAD_MAX_INV = 2.0
+# 2.0 admitted 512² (bpr 64→128, 2× padded work) and measured SLOWER than
+# the tile path at batch there (1085 vs 1727 MPix/s, jpeg_inverse_device
+# history); 1.75 keeps 1080p-class (1.07×) and 632-wide (1.62×) on the
+# plane path and sends the tiny widths back to tiles.
+PLANE_PAD_MAX_INV = 1.75
 
 
 def scaled_tables(quality):
@@ -454,9 +458,15 @@ class JPEGPipeline:
                         ((0, 0), (0, pad_cols), (0, 0)),
                     ).reshape(bpc * bwp, k)
                 zz_kt = rle_decode_packed16_pallas_plane(pairs, bwp)
-                planes[name] = fused_inverse_plane_jnp(
+                plane = fused_inverse_plane_jnp(
                     zz_kt, self._tables[name], tw, dtype
                 )
+                # Materialization barrier: letting XLA fuse the inverse
+                # einsum into the color merge costs +32% end to end
+                # (139 → 105 ms at 2048²×64 — measured, the einsum gets
+                # re-planned around its consumers' layouts).
+                (plane,) = jax.lax.optimization_barrier((plane,))
+                planes[name] = plane
             return ycbcr_planes_to_rgb(
                 planes["lum"], planes["r"], planes["b"],
                 height, width, dtype,
