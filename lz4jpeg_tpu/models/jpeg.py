@@ -459,17 +459,22 @@ class JPEGPipeline:
                     ).reshape(bpc * bwp, k)
                 zz_kt = rle_decode_packed16_pallas_plane(pairs, bwp)
                 plane = fused_inverse_plane_jnp(
-                    zz_kt, self._tables[name], tw, dtype
+                    zz_kt, self._tables[name], tw, dtype,
+                    # Chroma: fold the 4:2:2 upsample into the basis —
+                    # the MXU emits both pixels of a sample and the
+                    # color merge never pays the lane-interleave repeat
+                    # (106 → 56 ms end to end at 2048²×64, bit-equal).
+                    upsample_cols=(name != "lum"),
                 )
                 # Materialization barrier: letting XLA fuse the inverse
                 # einsum into the color merge costs +32% end to end
-                # (139 → 105 ms at 2048²×64 — measured, the einsum gets
-                # re-planned around its consumers' layouts).
+                # (measured; the einsum gets re-planned around its
+                # consumers' layouts).
                 (plane,) = jax.lax.optimization_barrier((plane,))
                 planes[name] = plane
             return ycbcr_planes_to_rgb(
                 planes["lum"], planes["r"], planes["b"],
-                height, width, dtype,
+                height, width, dtype, chroma_upsampled=True,
             )
         rec = {}
         for name in CHANNELS:

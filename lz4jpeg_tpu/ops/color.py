@@ -96,6 +96,7 @@ def ycbcr_planes_to_rgb(
     height: int,
     width: int,
     dtype=jnp.float32,
+    chroma_upsampled: bool = False,
 ) -> jnp.ndarray:
     """Plane-view YCbCr → RGB merge (``assemble_image``,
     JPEG.c:598-604) — identical arithmetic to ``ycbcr_to_rgb_mcus`` but
@@ -105,8 +106,14 @@ def ycbcr_planes_to_rgb(
     vs the 386 GB/s stream ceiling, ``results/roofline_jpeg_inverse
     .json``)."""
     y = y_plane.astype(jnp.int32)
-    cr = jnp.repeat(cr_sub, 2, axis=1).astype(dtype)
-    cb = jnp.repeat(cb_sub, 2, axis=1).astype(dtype)
+    if chroma_upsampled:
+        # Full-width chroma planes (the upsample was folded into the
+        # inverse basis, ops/fused.py) — no lane-interleave repeat here.
+        cr = cr_sub.astype(dtype)
+        cb = cb_sub.astype(dtype)
+    else:
+        cr = jnp.repeat(cr_sub, 2, axis=1).astype(dtype)
+        cb = jnp.repeat(cb_sub, 2, axis=1).astype(dtype)
 
     cr_term = jnp.trunc(1.402 * (cr - 128)).astype(jnp.int32)
     g_cb = jnp.trunc(0.344136 * (cb - 128)).astype(jnp.int32)

@@ -148,7 +148,7 @@ def fused_forward_plane_jnp(
 
 def fused_inverse_plane_jnp(
     zz_kt: jnp.ndarray, table: np.ndarray, width: int,
-    dtype=jnp.float32,
+    dtype=jnp.float32, upsample_cols: bool = False,
 ) -> jnp.ndarray:
     """Plane-view fused inverse: (bh, HW, bw) KT-layout zigzag quantized
     coefficients → (8·bh, width·bw) uint8 channel plane, WITHOUT the
@@ -172,7 +172,20 @@ def fused_inverse_plane_jnp(
     """
     minv = inverse_basis(width, 8, _table_key(table))
     bh, hw, bw = zz_kt.shape
-    mi = jnp.asarray(minv.T.reshape(hw, 8, width), dtype)
+    mi_np = minv.T.reshape(hw, 8, width)
+    out_w = width
+    if upsample_cols:
+        # Fold the 4:2:2 horizontal upsample INTO the basis: duplicating
+        # each Minv column makes the MXU emit both output pixels of a
+        # chroma sample directly — bit-identical to round-then-repeat
+        # (the dot is the same; round/clip commute with duplication) and
+        # it deletes the (H, W/2)→(H, W) lane-interleave relayout that
+        # made the color merge the decode's limiting stage (XLA's
+        # ``jnp.repeat`` ran at ~40 GB/s and pessimized the surrounding
+        # fusion: 106 → 55.6 ms measured end to end at 2048²×64).
+        mi_np = np.repeat(mi_np, 2, axis=2)
+        out_w = 2 * width
+    mi = jnp.asarray(mi_np, dtype)
     pix = jnp.einsum(
         "akb,kuv->aubv", zz_kt.astype(dtype), mi, precision="highest"
     ) + 128.0
@@ -180,7 +193,7 @@ def fused_inverse_plane_jnp(
     return (
         jnp.clip(rounded, 0, 255)
         .astype(jnp.uint8)
-        .reshape(8 * bh, width * bw)
+        .reshape(8 * bh, out_w * bw)
     )
 
 

@@ -294,3 +294,26 @@ class TestPlaneDecodeChain:
         ref_p, ref_l = rle_encode_packed16(jnp.asarray(row_major))
         np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref_p))
         np.testing.assert_array_equal(np.asarray(lengths), np.asarray(ref_l))
+
+    def test_basis_folded_upsample_bit_equal(self, rng):
+        """Chroma inverse with the 4:2:2 upsample folded into the basis
+        (duplicated Minv columns) must equal round-then-repeat exactly —
+        the dot products are identical and round/clip commute with
+        duplication."""
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.models.jpeg import scaled_tables
+        from lz4jpeg_tpu.ops.fused import fused_inverse_plane_jnp
+
+        tables = scaled_tables(None)
+        bh, bw = 3, 128
+        zz_kt = jnp.asarray(
+            rng.integers(-200, 200, size=(bh, 32, bw)).astype(np.int16)
+        )
+        narrow = np.asarray(
+            fused_inverse_plane_jnp(zz_kt, tables["r"], 4)
+        )
+        wide = np.asarray(
+            fused_inverse_plane_jnp(zz_kt, tables["r"], 4, upsample_cols=True)
+        )
+        np.testing.assert_array_equal(np.repeat(narrow, 2, axis=1), wide)
