@@ -74,11 +74,12 @@ _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
 # decode's merge_mcus is 15× slower than everything else so nearly any
 # padding wins).
 PLANE_PAD_MAX_FWD = 1.2
-# 2.0 admitted 512² (bpr 64→128, 2× padded work) and measured SLOWER than
-# the tile path at batch there (1085 vs 1727 MPix/s, jpeg_inverse_device
-# history); 1.75 keeps 1080p-class (1.07×) and 632-wide (1.62×) on the
-# plane path and sends the tiny widths back to tiles.
-PLANE_PAD_MAX_INV = 1.75
+# Before the basis-folded chroma upsample, 2.0 admitted 512² (bpr
+# 64→128, 2× padded work) and measured SLOWER than the tile path at
+# batch (1085 vs 1727 MPix/s); with the fold the padded plane path wins
+# even there (2357 vs 1725), so the gate is back to 2.0 — only widths
+# narrower than 64 blocks fall through to tiles.
+PLANE_PAD_MAX_INV = 2.0
 
 
 def scaled_tables(quality):
