@@ -648,7 +648,10 @@ def run_jpeg_inverse_roofline(
                 z = zz[name] + c.astype(jnp.int16)
                 out[name] = jax.vmap(
                     lambda zk, n=name, w=tw: fused_inverse_plane_jnp(
-                        zk, pipeline._tables[n], w, jnp.float32
+                        zk, pipeline._tables[n], w, jnp.float32,
+                        # Production folds the 4:2:2 upsample into the
+                        # chroma basis (models/jpeg.py) — mirror it.
+                        upsample_cols=(n != "lum"),
                     )
                 )(z)
             return out
@@ -667,7 +670,8 @@ def run_jpeg_inverse_roofline(
         def merge_body(planes, c, s):
             rgb = jax.vmap(
                 lambda y, r, b: ycbcr_planes_to_rgb(
-                    y, r, b, size, size, jnp.float32
+                    y, r, b, size, size, jnp.float32,
+                    chroma_upsampled=True,
                 )
             )(
                 planes["lum"] + c.astype(jnp.uint8),
