@@ -342,43 +342,59 @@ def rle_encode_packed16_pallas(
 # Decode side: expansion butterfly (the inverse of the concentration above)
 # ---------------------------------------------------------------------------
 
-def _rle_decode_kt_kernel(p_ref, ltx_ref, zz_ref, *, seg: int):
-    """(R_BLK·128, K) packed u16 pairs → (R_BLK·128, K) int16 zigzag values.
+_DELTA_SH = 7  # biased value-delta field in the distribute word: bits 7..17
+
+
+def _expand_kt(xt: jnp.ndarray, ltx: jnp.ndarray, seg: int) -> jnp.ndarray:
+    """Core expansion on a (K, rows) transposed tile → (K, rows) int32.
 
     The decode mirror of the encode butterfly: front-compacted
     [count, value] pairs DISTRIBUTE to their run-start positions on the
     inverse butterfly (MSB of the shift distance first — the reverse
     schedule of the encode's concentration, collision-free by the mirror
-    of the same monotonicity argument), then a log2(K)-stage fill-forward
-    scan propagates each start's value across its run.  Start positions
-    are an exclusive prefix sum of counts — one strict-lower-triangular
-    MXU matmul.  Replaces the disjoint-interval membership einsum
-    (``ops/rle.py::rle_decode_packed16``), whose (N, K, K) contraction
-    does K× the algorithmic work on the MXU.
+    of the same monotonicity argument).  Start positions are an exclusive
+    prefix sum of counts — one lower-triangular MXU matmul.
+
+    Round 4 replaced the log2(K)-stage fill-forward roll scan with ONE
+    more MXU matmul: the butterfly distributes each run's value DELTA
+    (value minus previous run's value — adjacent slots, since pack16
+    fronts-compacts its pairs) instead of the value itself, and the
+    filled output is then simply the inclusive prefix sum of the placed
+    deltas: out[m] = Σ_{starts[j] ≤ m} Δ[j].  Rolls are what bound the
+    kernel on the VPU — 6 of 12 stages deleted, for a fence-corrected
+    marginal of 2.60 vs 2.82 ms luma / 1.53 vs 1.59 ms chroma at 1M
+    blocks (profiles/profile_rle_decode_wide.py; the dots are not free,
+    so the win is smaller than the deleted stages' 0.6 ms).  The biased
+    delta (11 bits) rides the distribute word where the 10-bit value
+    did, and exactness is kept by splitting the prefix operand into
+    5-bit halves (bf16 mantissas hold ≤ 256 exactly; column sums stay
+    f32-exact).
 
     Validity needs no lengths side channel: valid packed words are
-    nonzero by construction (value+512 ∈ [1, 1023]) and padding slots are
-    exactly zero.
+    nonzero by construction (value+512 ∈ [1, 1023]) and padding slots
+    are exactly zero.  Replaces the disjoint-interval membership einsum
+    (``ops/rle.py::rle_decode_packed16``), whose (N, K, K) contraction
+    does K× the algorithmic work on the MXU.
     """
     nbits = seg.bit_length() - 1
-    x = p_ref[:].astype(jnp.int32) & 0xFFFF  # (rows, K) u16 via i16 load
-    xt = x.T  # (K, rows): pair slots along sublanes
     m = jax.lax.broadcasted_iota(jnp.int32, xt.shape, dimension=0)
     valid = xt != 0
     counts = jnp.where(valid, (xt >> 10) + 1, 0)
     vals = jnp.where(valid, (xt & 0x3FF) - PACK16_VALUE_BIAS, 0)
-    # Exclusive prefix sum of counts → each run's start position; the
-    # inclusive total rides in for the tail mask.
     incl = jnp.dot(
-        ltx_ref[:],
+        ltx,
         counts.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)  # incl[s, b] = Σ_{j≤s} counts[j, b]
     starts = incl - counts
     total = jnp.max(incl, axis=0, keepdims=True)  # (1, rows)
     dist = jnp.where(valid, starts - m, 0)  # ≥ 0: slots only move down
+    # Δ to the previous run's value (slot m-1: pairs are front-compacted);
+    # the first run's Δ is its value.  Biased to [2, 2046] — 11 bits.
+    prev = pltpu.roll(vals, shift=1, axis=0)
+    delta = vals - jnp.where(m == 0, 0, prev)
     word = jnp.where(
-        valid, dist | ((vals + 512) << _VAL_SH) | _VALID, 0
+        valid, dist | ((delta + 1024) << _DELTA_SH) | _VALID, 0
     )
     # Distribute: MSB-first moves down by 2^b when bit b of the remaining
     # distance is set (dist < K always, so nbits stages suffice).
@@ -389,24 +405,30 @@ def _rle_decode_kt_kernel(p_ref, ltx_ref, zz_ref, *, seg: int):
         arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
         depart = ((word & _VALID) != 0) & ((word & step) != 0)
         word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
-    # Fill-forward: every position takes the nearest start at or BELOW it
-    # (propagating values down across their runs; positions before the
-    # first start cannot occur: starts[0] == 0 for any nonempty block).
-    out = jnp.where(
-        (word & _VALID) != 0,
-        ((word >> _VAL_SH) & 0x3FF) - PACK16_VALUE_BIAS,
-        0,
-    )
-    # `have` stays int32 — Mosaic cannot rotate i1 vectors.
+    placed = jnp.where((word & _VALID) != 0, (word >> _DELTA_SH) & 0x7FF, 0)
     have = (word & _VALID) >> 23
-    for b in range(nbits):
-        step = 1 << b
-        src_out = pltpu.roll(out, shift=step, axis=0)
-        src_have = pltpu.roll(have, shift=step, axis=0)
-        take = (1 - have) * jnp.where(m >= step, src_have, 0)
-        out = jnp.where(take != 0, src_out, out)
-        have = have | take
-    out = jnp.where(m < total, out, 0)  # zero-pad past the data
+    # Fill = inclusive prefix sum of the placed deltas, as two MXU dots on
+    # 5-bit halves (exact in bf16); the +1024 bias un-biases for free by
+    # folding -32·valid into the hi half: hi·32 + lo = placed - 1024 = Δ.
+    hi = ((placed >> 5) - (have << 5)).astype(jnp.bfloat16)
+    lo = (placed & 31).astype(jnp.bfloat16)
+    out = (
+        jnp.dot(ltx, hi, preferred_element_type=jnp.float32).astype(
+            jnp.int32
+        )
+        * 32
+        + jnp.dot(ltx, lo, preferred_element_type=jnp.float32).astype(
+            jnp.int32
+        )
+    )
+    return jnp.where(m < total, out, 0)  # zero-pad past the data
+
+
+def _rle_decode_kt_kernel(p_ref, ltx_ref, zz_ref, *, seg: int):
+    """(R_BLK·128, K) packed u16 pairs → (R_BLK·128, K) int16 zigzag values
+    (see ``_expand_kt`` for the algorithm)."""
+    xt = (p_ref[:].astype(jnp.int32) & 0xFFFF).T  # (K, rows): slots on sublanes
+    out = _expand_kt(xt, ltx_ref[:], seg)
     zz_ref[:] = out.T.astype(jnp.int16)
 
 
@@ -447,45 +469,8 @@ def _rle_decode_kt_plane_kernel(p_ref, ltx_ref, zz_ref, *, seg: int,
     plane-view inverse chain (``ops/fused.py::fused_inverse_plane_jnp``)
     consumes exactly this orientation, so each block-row slab is stored
     as a static lane slice instead — no transpose anywhere."""
-    nbits = seg.bit_length() - 1
-    x = p_ref[:].astype(jnp.int32) & 0xFFFF
-    xt = x.T  # (K, slabs·bw)
-    m = jax.lax.broadcasted_iota(jnp.int32, xt.shape, dimension=0)
-    valid = xt != 0
-    counts = jnp.where(valid, (xt >> 10) + 1, 0)
-    vals = jnp.where(valid, (xt & 0x3FF) - PACK16_VALUE_BIAS, 0)
-    incl = jnp.dot(
-        ltx_ref[:],
-        counts.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    starts = incl - counts
-    total = jnp.max(incl, axis=0, keepdims=True)
-    dist = jnp.where(valid, starts - m, 0)
-    word = jnp.where(
-        valid, dist | ((vals + 512) << _VAL_SH) | _VALID, 0
-    )
-    for b in range(nbits - 1, -1, -1):
-        step = 1 << b
-        incoming = pltpu.roll(word, shift=step, axis=0)
-        ok = m >= step
-        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
-        depart = ((word & _VALID) != 0) & ((word & step) != 0)
-        word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
-    out = jnp.where(
-        (word & _VALID) != 0,
-        ((word >> _VAL_SH) & 0x3FF) - PACK16_VALUE_BIAS,
-        0,
-    )
-    have = (word & _VALID) >> 23
-    for b in range(nbits):
-        step = 1 << b
-        src_out = pltpu.roll(out, shift=step, axis=0)
-        src_have = pltpu.roll(have, shift=step, axis=0)
-        take = (1 - have) * jnp.where(m >= step, src_have, 0)
-        out = jnp.where(take != 0, src_out, out)
-        have = have | take
-    out = jnp.where(m < total, out, 0).astype(jnp.int16)
+    xt = (p_ref[:].astype(jnp.int32) & 0xFFFF).T  # (K, slabs·bw)
+    out = _expand_kt(xt, ltx_ref[:], seg).astype(jnp.int16)
     for i in range(slabs):
         zz_ref[i, :, :] = out[:, i * bw : (i + 1) * bw]
 
@@ -546,6 +531,125 @@ def rle_decode_packed16_pallas_plane(
         bw=bw,
         interpret=interpret,
     )
+
+
+def _rle_decode_wide_kernel(p_ref, u_ref, t_ref, zz_ref, *, seg: int):
+    """(R_BLK, 128) packed u16 pairs — 128/seg blocks per lane row — →
+    (R_BLK, 128) int16 zigzag values, fully lane-resident.
+
+    The round-4 reformulation of the decode butterfly: the KT variant's
+    in-VMEM transpose turned out innocent, but its (rows, K) loads and
+    (K, ·) tiles leave half (K=64) to three quarters (K=32) of every
+    vector register empty — a pure row-major copy of the narrow layout is
+    as slow as the whole kernel (profiles/profile_rle_expand_ablate.py).
+    This kernel runs the identical integer network in the ENCODE kernel's
+    orientation instead: the packed stream viewed as (N·K/128, 128) — a
+    free reshape of the same bytes — with segment-local masks, lane-axis
+    rolls, and the two prefix/total reductions as 128×128 MXU matmuls
+    (exact: counts ≤ 64 in bf16, 0/1 matrices, f32 accumulation).
+    Output is row-major (N, K), which the plane inverse einsum consumes
+    in ``abk`` orientation at identical speed
+    (profiles/profile_rle_expand_rm.py).
+    """
+    nbits = seg.bit_length() - 1
+    x = p_ref[:].astype(jnp.int32) & 0xFFFF
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    m = lane & (seg - 1)  # position within the block's pair segment
+    valid = x != 0
+    counts = jnp.where(valid, (x >> 10) + 1, 0)
+    vals = jnp.where(valid, (x & 0x3FF) - PACK16_VALUE_BIAS, 0)
+    cb = counts.astype(jnp.bfloat16)
+    incl = jnp.dot(
+        cb, u_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # segment-local inclusive prefix sum
+    total = jnp.dot(
+        cb, t_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # segment total, broadcast to every lane
+    starts = incl - counts
+    dist = jnp.where(valid, starts - m, 0)  # ≥ 0: pairs only move right
+    word = jnp.where(valid, dist | ((vals + 512) << _VAL_SH) | _VALID, 0)
+    # Distribute MSB-first: stage b moves right by 2^b when bit b of the
+    # remaining distance is set; m ≥ step masks every cross-segment (and
+    # row-wrap) import, exactly as in the KT kernel.
+    for b in range(nbits - 1, -1, -1):
+        step = 1 << b
+        incoming = pltpu.roll(word, shift=step, axis=1)
+        ok = m >= step
+        arrive = ok & ((incoming & _VALID) != 0) & ((incoming & step) != 0)
+        depart = ((word & _VALID) != 0) & ((word & step) != 0)
+        word = jnp.where(arrive, incoming - step, jnp.where(depart, 0, word))
+    out = jnp.where(
+        (word & _VALID) != 0,
+        ((word >> _VAL_SH) & 0x3FF) - PACK16_VALUE_BIAS,
+        0,
+    )
+    have = (word & _VALID) >> 23
+    for b in range(nbits):
+        step = 1 << b
+        src_out = pltpu.roll(out, shift=step, axis=1)
+        src_have = pltpu.roll(have, shift=step, axis=1)
+        take = (1 - have) * jnp.where(m >= step, src_have, 0)
+        out = jnp.where(take != 0, src_out, out)
+        have = have | take
+    out = jnp.where(m < total, out, 0)
+    zz_ref[:] = out.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "interpret"))
+def _rle_decode_wide_call(p128: jnp.ndarray, *, seg: int, interpret: bool):
+    rows = p128.shape[0]
+    r_blk = max(16, min(rows, 2048))
+    while rows % r_blk:
+        r_blk -= 16
+    spec = pl.BlockSpec(
+        (r_blk, LANES), lambda r: (r, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = pl.BlockSpec(
+        (LANES, LANES), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    j = jnp.arange(LANES)[:, None]
+    l = jnp.arange(LANES)[None, :]
+    same = (j // seg) == (l // seg)
+    u = (same & (j <= l)).astype(jnp.bfloat16)
+    t = same.astype(jnp.bfloat16)
+    return pl.pallas_call(
+        functools.partial(_rle_decode_wide_kernel, seg=seg),
+        grid=(rows // r_blk,),
+        in_specs=[spec, const_spec, const_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int16),
+        interpret=interpret,
+    )(p128, u, t)
+
+
+def rle_decode_packed16_pallas_wide(
+    packed: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, K) packed uint16 pairs → (N, K) int16 zigzag coefficients,
+    via the lane-resident wide kernel (no transpose, no narrow tiles).
+
+    **Measured negative — NOT production.**  The hypothesis was that the
+    KT kernels' narrow (rows, K) loads bound them; fence-corrected A/B
+    (profiles/profile_rle_decode_wide.py) shows the lane-axis rolls this
+    orientation forces cost more than the KT kernels' sublane rolls plus
+    transpose (marginal 4.3 vs 2.6 ms luma at 1M blocks, stable across
+    r_blk 128…2048), so the KT kernels stay production.  Kept, tested
+    bit-identical, so the negative is reproducible and not re-tried
+    blind (same convention as tests/test_pallas_candidates.py).
+
+    Requires ``N·K % (128·16) == 0`` (16 full sublane rows of the wide
+    view per grid tile).  Bit-identical to ``rle_decode_packed16_pallas``.
+    """
+    n, k = packed.shape
+    if k & (k - 1) or k > MAX_SEG:
+        raise ValueError(f"bad pair width {k}")
+    if (n * k) % (LANES * 16):
+        raise ValueError(f"bad shape ({n}, {k}) for the wide decode kernel")
+    p128 = jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint16), jnp.int16
+    ).reshape(n * k // LANES, LANES)
+    zz = _rle_decode_wide_call(p128, seg=k, interpret=interpret)
+    return zz.reshape(n, k)
 
 
 def rle_decode_packed16_pallas(

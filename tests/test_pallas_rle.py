@@ -169,6 +169,34 @@ class TestPallasDecodeIdentity:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
         np.testing.assert_array_equal(np.asarray(got), vals.astype(np.int32))
 
+    @pytest.mark.parametrize("shape", [(256, 64), (512, 32)])
+    def test_wide_negative_stays_identical(self, rng, shape):
+        """The retired wide (lane-resident) decode kernel — a measured
+        negative, see its docstring — must stay bit-identical to the
+        production KT kernel so the A/B remains reproducible."""
+        import jax
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.pallas_rle import (
+            rle_decode_packed16_pallas,
+            rle_decode_packed16_pallas_wide,
+        )
+
+        n, k = shape
+        vals = rng.integers(-511, 512, size=shape).astype(np.int16)
+        rep = np.repeat(
+            rng.integers(-511, 512, size=(n, (k + 7) // 8)), 8, axis=1
+        )[:, :k]
+        vals[::2] = rep[::2].astype(np.int16)
+        vals[3] = 0
+        vals[4] = 7  # single-run block
+        packed, lengths = jax.jit(rle_encode_packed16)(jnp.asarray(vals))
+        kt = rle_decode_packed16_pallas(packed, lengths, k, interpret=True)
+        wide = rle_decode_packed16_pallas_wide(packed, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(kt), np.asarray(wide).astype(np.int32)
+        )
+
     def test_rejects_bad_shapes(self):
         import jax.numpy as jnp
 
