@@ -804,6 +804,24 @@ def run_jpeg_inverse_roofline(
             "DCE guard: compiled inverse chain contains no einsum decode."
         )
 
+    # -- fence floor: the xor-perturb + checksum traffic every stage body
+    # pays per iteration, with the xor output barriered so it materializes
+    # exactly as it does when feeding a kernel.  Stage numbers above
+    # INCLUDE this floor (the round-4 wide-kernel A/B showed it is ~3 ms
+    # at 1M-block shapes and once mis-attributed the expansion kernel's
+    # cost to its loads — results/pallas_ab.json::rle_decode_round4);
+    # subtract it to compare kernel formulations, keep it to compare
+    # against the reference's whole-process timings.
+    def floor_body(data, c, s):
+        r, _ln = data
+        for k, v in r.items():
+            (x,) = jax.lax.optimization_barrier((v ^ c.astype(jnp.uint16),))
+            s = s + jnp.sum(x.astype(jnp.float32))
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing fence_floor ...", flush=True)
+    floor_s = _chain_bench_u16(floor_body, (rle, lens), chain)
+
     print("timing hbm_stream ceiling ...", flush=True)
     hbm_probe = measure_hbm_stream_ceiling(
         footprint_bytes=min(512 << 20, 4 * npix), chain=16
@@ -848,6 +866,17 @@ def run_jpeg_inverse_roofline(
         },
         "hbm_stream_ceiling": hbm_probe,
         "mpix_per_iter": npix / 1e6,
+        "fence_floor": {
+            "measured_s": floor_s,
+            "note": (
+                "per-iteration xor-perturb + checksum of the packed "
+                "inputs (xor barriered so it materializes as a kernel "
+                "feed would); embedded in every stage's measured_s — "
+                "subtract for kernel-marginal comparisons"
+            ),
+            "rle_expand_marginal_s": stages["rle_expand"]["measured_s"]
+            - floor_s,
+        },
         "stages": stages,
         "stage_sum_s": stage_sum,
         "fusion_gap_s": stages["full_inverse"]["measured_s"] - stage_sum,
