@@ -874,8 +874,14 @@ def run_jpeg_inverse_roofline(
                 "feed would); embedded in every stage's measured_s — "
                 "subtract for kernel-marginal comparisons"
             ),
-            "rle_expand_marginal_s": stages["rle_expand"]["measured_s"]
-            - floor_s,
+            # Clamped at 0: on a noisy run the measured floor can exceed
+            # the stage time; a negative marginal would misread as a
+            # measurement, not noise.
+            "rle_expand_marginal_s": max(
+                0.0, stages["rle_expand"]["measured_s"] - floor_s
+            ),
+            "floor_exceeded_stage": floor_s
+            >= stages["rle_expand"]["measured_s"],
         },
         "stages": stages,
         "stage_sum_s": stage_sum,

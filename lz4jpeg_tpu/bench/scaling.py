@@ -86,6 +86,13 @@ def jpeg_scaling_sweep(
             "runs": runs,
             "entries": results,
         }
+        if payload["platform"] == "cpu":
+            payload["note"] = (
+                "virtual devices sharing ONE (throttled) host: wall-clock "
+                "speedup/efficiency are not meaningful here — this sweep "
+                "validates sharded correctness and collective overhead "
+                "shape only; real scaling needs real chips"
+            )
         with open(output, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"wrote {output}")

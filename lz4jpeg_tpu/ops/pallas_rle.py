@@ -343,6 +343,12 @@ def rle_encode_packed16_pallas(
 # ---------------------------------------------------------------------------
 
 _DELTA_SH = 7  # biased value-delta field in the distribute word: bits 7..17
+# The fill matmul's exactness couples the delta bias (1024) to the 5-bit
+# half split in ``_expand_kt``: un-biasing folds ``-(have << 5)`` into the
+# hi half, which is only correct while bias == 32 << 5.  Changing either
+# constant alone silently corrupts decode output.
+_DELTA_BIAS = 1024
+assert _DELTA_BIAS == 32 << 5
 
 
 def _expand_kt(xt: jnp.ndarray, ltx: jnp.ndarray, seg: int) -> jnp.ndarray:
@@ -394,7 +400,7 @@ def _expand_kt(xt: jnp.ndarray, ltx: jnp.ndarray, seg: int) -> jnp.ndarray:
     prev = pltpu.roll(vals, shift=1, axis=0)
     delta = vals - jnp.where(m == 0, 0, prev)
     word = jnp.where(
-        valid, dist | ((delta + 1024) << _DELTA_SH) | _VALID, 0
+        valid, dist | ((delta + _DELTA_BIAS) << _DELTA_SH) | _VALID, 0
     )
     # Distribute: MSB-first moves down by 2^b when bit b of the remaining
     # distance is set (dist < K always, so nbits stages suffice).

@@ -47,7 +47,6 @@ def main():
     results = {}
     # fence floor: xor+sum with no kernel, to place the marginal costs
     for K, bw, frames, tag in ((64, 256, 16, "lum"), (32, 256, 16, "chr")):
-        rows = frames * 256 * (2048 // (8 if K == 64 else 16)) * 256 // 256
         rows = frames * 256 * 256  # one pair row per luma block position
         vals = rng.integers(-511, 512, size=(rows, K)).astype(np.int16)
         rep = np.repeat(

@@ -24,8 +24,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(240)
 def test_two_process_ordered_gather():
+    # No pytest.mark.timeout here: pytest-timeout isn't installed (the
+    # mark would be a silent no-op).  The real hang guard is the
+    # ``communicate(timeout=200)`` + kill below — a deliberately hung
+    # worker fails this test instead of hanging the suite.
     coordinator = f"127.0.0.1:{_free_port()}"
     repo_root = os.path.dirname(os.path.dirname(_WORKER))
     env = dict(os.environ)
