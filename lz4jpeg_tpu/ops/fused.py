@@ -197,6 +197,63 @@ def fused_inverse_plane_jnp(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def inverse_suffix_basis(width: int, height: int, table_key: bytes):
+    """Suffix-summed inverse basis: folds the RLE expansion into the IDCT.
+
+    With the sparse-delta layout (``ops/rle.py::rle_encode_sparse16``)
+    the zigzag coefficients are ``zz[k] = Σ_{m≤k} Δ[m]``, so
+
+        pixels = Σ_k Minv[p, k] · zz[k] = Σ_m Δ[m] · (Σ_{k≥m} Minv[p, k])
+
+    i.e. one matmul straight from the deltas, with the suffix sums
+    precomputed here in f64 (a column-reversed cumsum of
+    ``inverse_basis``).  The decode chain's expansion stage disappears —
+    this is the round-5 answer to the inverse roofline's limiting stage
+    (``results/roofline_jpeg_inverse.json::stages.rle_expand``).
+    Reference inverse chain: JPEG.c:399-448, :811-842.
+    """
+    minv = inverse_basis(width, height, table_key)
+    return np.cumsum(minv[:, ::-1], axis=1)[:, ::-1].copy()
+
+
+def fused_inverse_plane_sparse_jnp(
+    d_kt: jnp.ndarray, table: np.ndarray, width: int,
+    dtype=jnp.float32, upsample_cols: bool = False,
+) -> jnp.ndarray:
+    """Plane-view fused inverse from SPARSE-DELTA coefficients:
+    (bh, HW, bw) KT-layout integer value-deltas (already un-biased) →
+    (8·bh, width·bw or 2·width·bw) uint8 channel plane.
+
+    Identical structure to ``fused_inverse_plane_jnp`` but contracting
+    with ``inverse_suffix_basis`` — the RLE expansion rides the same MXU
+    pass (measured 2.03× the expand-kernel + einsum chain at 134 MPix,
+    ``results/pallas_ab.json::sparse16_round5``).  Precision contract:
+    the fold reassociates the k-sum (suffix sums are rounded to f32 once
+    instead of per-term), which flips ~1e-4 of pixels by ±1 at the
+    round-half boundary vs the two-step path — the same envelope as the
+    plane-vs-tile formulation difference already shipped (docstring of
+    ``fused_inverse_plane_jnp``)."""
+    m2 = inverse_suffix_basis(width, 8, _table_key(table))
+    bh, hw, bw = d_kt.shape
+    mi_np = m2.T.reshape(hw, 8, width)
+    out_w = width
+    if upsample_cols:
+        # Same basis-folded 4:2:2 upsample as the pair-layout path.
+        mi_np = np.repeat(mi_np, 2, axis=2)
+        out_w = 2 * width
+    mi = jnp.asarray(mi_np, dtype)
+    pix = jnp.einsum(
+        "akb,kuv->aubv", d_kt.astype(dtype), mi, precision="highest"
+    ) + 128.0
+    rounded = jnp.sign(pix) * jnp.floor(jnp.abs(pix) + 0.5)
+    return (
+        jnp.clip(rounded, 0, 255)
+        .astype(jnp.uint8)
+        .reshape(8 * bh, out_w * bw)
+    )
+
+
 def fused_inverse_jnp(
     zz: jnp.ndarray, table: np.ndarray, width: int, height: int,
     dtype=jnp.float32,

@@ -152,6 +152,73 @@ def unpack16_pairs(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return (p >> 10) + 1, (p & 0x3FF) - PACK16_VALUE_BIAS
 
 
+SPARSE16_DELTA_BIAS = 1024  # biased value delta; valid slots are nonzero
+
+
+def rle_encode_sparse16(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, L) int blocks → ((N, L) sparse-delta uint16, (N,) symbol lengths).
+
+    The round-5 interchange layout: slot ``m`` holds the run's VALUE DELTA
+    (``x[m] - x[m-1]``, with ``x[-1] := 0``) biased by 1024 at run starts,
+    and exactly 0 elsewhere.  Three properties make it strictly better
+    than the pair layout on TPU:
+
+    * no compaction: runs stay at their start positions, so encode is a
+      mask + one shift + select — the sort (``rle_encode_batched``) and
+      the concentration butterfly (``ops/pallas_rle.py``) both disappear;
+    * within a run all values are equal, so the previous element ALWAYS
+      holds the previous run's value — the delta needs one shift, not a
+      scan;
+    * decode is an inclusive prefix sum of the deltas
+      (``out[p] = Σ_{m≤p} Δ[m]``), which is linear — it FOLDS into the
+      inverse DCT einsum (``ops/fused.py::fused_inverse_plane_sparse``),
+      deleting the expansion stage from the decode chain entirely.
+
+    Bijective with ``rle_encode_packed16`` (same information, same bytes:
+    L uint16 per block); ``lengths`` counts symbols (2·runs), identically.
+    Valid slots are nonzero by construction: slot 0 is always a start
+    (bias 1024 ≠ 0 even for delta 0) and start deltas are nonzero for
+    m > 0 (run boundaries mean the value changed).  Requires |value| ≤
+    511 like pack16 (delta range ±1022 → biased [2, 2046], 11 bits).
+
+    Reference stage semantics: ``RLE``, JPEG.c:767-809 (same run
+    structure, re-expressed as positions instead of pairs).
+    """
+    x = values.astype(jnp.int32)
+    n, length = x.shape
+    prev = jnp.concatenate([jnp.zeros((n, 1), jnp.int32), x[:, :-1]], axis=1)
+    starts = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.bool_), x[:, 1:] != x[:, :-1]], axis=1
+    )
+    w = jnp.where(starts, x - prev + SPARSE16_DELTA_BIAS, 0)
+    return w.astype(jnp.uint16), 2 * jnp.sum(starts, axis=1, dtype=jnp.int32)
+
+
+def rle_decode_sparse16(sparse: jnp.ndarray) -> jnp.ndarray:
+    """(N, L) sparse-delta uint16 → (N, L) int32 zigzag values.
+
+    One inclusive prefix sum — validity is implicit (zero slots carry
+    delta 0).  Production decode paths fold this sum into the inverse
+    einsum instead of calling it (see ``rle_encode_sparse16``)."""
+    w = sparse.astype(jnp.int32)
+    d = jnp.where(w != 0, w - SPARSE16_DELTA_BIAS, 0)
+    return jnp.cumsum(d, axis=-1)
+
+
+def sparse16_to_packed16(sparse: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse-delta layout → packed16 pair layout (+ lengths).
+
+    Exact on canonical streams (maximal runs — everything our encoders
+    emit); the two layouts are bijective through the decoded values."""
+    return rle_encode_packed16(rle_decode_sparse16(sparse))
+
+
+def packed16_to_sparse16(packed: jnp.ndarray, lengths: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed16 pair layout → sparse-delta layout (+ lengths)."""
+    k = packed.shape[-1]
+    return rle_encode_sparse16(rle_decode_packed16(packed, lengths, k))
+
+
 def rle_decode_packed16(
     packed: jnp.ndarray, lengths: jnp.ndarray, out_size: int
 ) -> jnp.ndarray:
