@@ -61,14 +61,14 @@ def main() -> None:
     # the single float() at the end of a run transitively forces all
     # ``chain`` executions — pipelined dispatch, serving-style.
     def forward_fenced(rgb_batch, carry):
-        # Fence exactly what production ships (the int16 RLE pairs +
-        # lengths, models/jpeg.py::_forward_rle_impl); checksumming the zz
-        # intermediate too would force XLA to materialize a (N, 64) f32
-        # tensor per channel that the real pipeline fuses away.
+        # Fence exactly what production ships: in sparse16 mode ONE
+        # (N, 128) combined sparse-delta buffer per frame (megakernel,
+        # models/jpeg.py::_forward_rle_impl) — checksumming anything more
+        # would force XLA to materialize intermediates the real pipeline
+        # fuses away.
         out = jax.vmap(pipeline._forward_rle_impl)(rgb_batch)
         return carry + sum(
-            jnp.sum(p.astype(jnp.float32)) + jnp.sum(l.astype(jnp.float32))
-            for p, l in out.values()
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out)
         )
 
     forward = jax.jit(forward_fenced)

@@ -72,8 +72,8 @@ def run_entropy_ab(
     pipe = JPEGPipeline(JPEGConfig())
     # This A/B deliberately measures the int32/int16 PAIR layout (the
     # decision artifact predates pack16 and stays comparable to it);
-    # disable the packed-u16 transfer layout before the first trace.
-    pipe._pack16 = False
+    # disable the u16 transfer layouts before the first trace.
+    pipe._pack16 = pipe._sparse16 = pipe._megakernel = False
     slim = pipe._forward_rle(jnp.asarray(img))
     jax.block_until_ready(slim)
 

@@ -362,17 +362,18 @@ def run_jpeg_inverse_device_experiment(
         batch = min(256, max(1, (256 << 20) // (size * size)))
         img = generate_noise_image(size, size, rng)
         slim = jax.block_until_ready(pipeline._forward_rle(jnp.asarray(img)))
-        rle = {c: jnp.tile(slim[c][0], (batch, 1, 1)) for c in CHANNELS}
-        lens = {c: jnp.tile(slim[c][1], (batch, 1)) for c in CHANNELS}
         bpc = bpr = size // 8
+        assert pipeline._sparse16, (
+            "device inverse sweep measures the production sparse16 chain"
+        )
+        comb = jnp.tile(slim, (batch, 1, 1))
 
-        def inverse_fenced(rle, lens, carry):
+        def inverse_fenced(comb, carry):
             rgb = jax.vmap(
-                lambda r, l: pipeline._inverse_impl(
-                    r, l, bpc=bpc, bpr=bpr, height=size, width=size,
-                    packed16=True,
+                lambda cc: pipeline._inverse_sparse_impl(
+                    cc, bpc=bpc, bpr=bpr, height=size, width=size
                 )
-            )(rle, lens)
+            )(comb)
             # Fence the FULL RGB output: channel 0 alone would let XLA
             # dead-code-eliminate the whole Cb inverse chain (R = Y +
             # 1.402·Cr never reads Cb), and strided column sampling lets
@@ -386,7 +387,7 @@ def run_jpeg_inverse_device_experiment(
         def step():
             s = jnp.float32(0)
             for _ in range(chain):
-                s = f(rle, lens, s)
+                s = f(comb, s)
             float(s)
 
         r = run_timed(

@@ -127,11 +127,53 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
     if p != len(data):
         raise JPEGContainerError("trailing bytes after container")
 
-    # Decode the streams back to RLE.  Prefer the packed-u16 pair layout
-    # (half the h2d bytes when the pipeline re-uploads for the device
-    # inverse); a stream whose pairs don't fit 10-bit values drops every
-    # channel back to the int32 layout so the JPEGEncoded stays uniform.
+    # Decode the streams back to RLE.  Prefer the sparse-delta combined
+    # layout (the round-5 interchange: h2d-ready for the folded-einsum
+    # device inverse, one buffer, same bytes as packed16); a stream the
+    # strict sparse walker rejects falls back to the packed-u16 pairs,
+    # then to the int32 quirk-compatible path, keeping every channel in
+    # one uniform layout.
     native = native_backend() if native_available() else None
+    sparse16 = native is not None
+    combined = None
+    if sparse16:
+        from lz4jpeg_tpu.ops.pallas_fwd import (
+            CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
+        )
+
+        slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+        combined = np.zeros((num_blocks, COMBINED_LANES), np.uint16)
+        for c in ("lum", "r", "b"):
+            codebook, packed, nbits = shared[c]
+            h, w = _CHANNEL_SHAPES[c]
+            try:
+                got = native.huff_unpack_sparse16(
+                    packed, nbits, codebook, h * w, num_blocks,
+                    out_sparse=combined, col_off=slices[c].start,
+                )
+            except ValueError as e:
+                raise JPEGContainerError(f"corrupt channel {c!r}: {e}") from e
+            if got is None:
+                sparse16 = False
+                rle.clear()
+                lengths.clear()
+                combined = None
+                break
+            rle[c], lengths[c] = combined[:, slices[c]], got[1]
+    if sparse16:
+        return JPEGEncoded(
+            quality=quality or None,
+            height=height,
+            width=width,
+            blocks_per_col=bpc,
+            blocks_per_row=bpr,
+            rle=rle,
+            rle_lengths={c: np.asarray(v) for c, v in lengths.items()},
+            entropy_mode="shared",
+            rle_sparse16=True,
+            rle_combined=combined,
+            shared_streams=shared,
+        )
     packed16 = native is not None
     if packed16:
         for c in ("lum", "r", "b"):

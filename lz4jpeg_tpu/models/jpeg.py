@@ -56,10 +56,13 @@ from lz4jpeg_tpu.ops.quantize import (
     scale_table,
 )
 from lz4jpeg_tpu.ops.rle import (
+    SPARSE16_DELTA_BIAS,
     rle_decode_batched,
     rle_decode_packed16,
+    rle_decode_sparse16,
     rle_encode_batched,
     rle_encode_packed16,
+    rle_encode_sparse16,
 )
 from lz4jpeg_tpu.ops.zigzag import reverse_zigzag, zigzag
 from lz4jpeg_tpu.oracle import jpeg_oracle
@@ -67,19 +70,10 @@ from lz4jpeg_tpu.oracle import jpeg_oracle
 CHANNELS = ("lum", "r", "b")
 _CHANNEL_SHAPES = {"lum": (8, 8), "r": (8, 4), "b": (8, 4)}
 
-# Pad-widened plane-path gates: the padded-work / real-work ratio up to
-# which the plane formulation (plus zero-pad to the Pallas kernels'
-# 128-lane tile) still beats the tile fallback — measured on-chip per
-# direction (profiles/profile_plane_pad.py; forward's tile path is fast,
-# decode's merge_mcus is 15× slower than everything else so nearly any
-# padding wins).
-PLANE_PAD_MAX_FWD = 1.2
-# Before the basis-folded chroma upsample, 2.0 admitted 512² (bpr
-# 64→128, 2× padded work) and measured SLOWER than the tile path at
-# batch (1085 vs 1727 MPix/s); with the fold the padded plane path wins
-# even there (2357 vs 1725), so the gate is back to 2.0 — only widths
-# narrower than 64 blocks fall through to tiles.
-PLANE_PAD_MAX_INV = 2.0
+# Round 5 note: the pad-widened plane gates (PLANE_PAD_MAX_*) that
+# steered the packed16 Pallas-butterfly paths are gone — the sparse16
+# layout has no Pallas in the decode chain and no 128-lane width
+# constraint anywhere, so the plane formulation simply always applies.
 
 
 def scaled_tables(quality):
@@ -121,14 +115,26 @@ class JPEGEncoded:
     width: int
     blocks_per_col: int
     blocks_per_row: int
-    # Padded (N, 2L) RLE [count, value] pairs + (N,) valid lengths.
+    # Padded (N, 2L) RLE [count, value] pairs + (N,) valid lengths — or,
+    # in the sparse16 layout, per-channel (N, K) uint16 sparse-delta
+    # views into ``rle_combined`` and lazily-populated lengths.
     rle: Dict[str, np.ndarray]
-    rle_lengths: Dict[str, np.ndarray]
+    rle_lengths: Optional[Dict[str, np.ndarray]]
     entropy_mode: Optional[str] = None
     # True: rle holds the packed-u16 pair layout ((count-1)<<10 | value+512,
     # one uint16 per pair, ops/rle.py) — half the tunnel bytes of the int32
     # pair layout.  Set when the quant tables bound |value| ≤ 511.
     rle_packed16: bool = False
+    # True: rle holds the sparse-delta uint16 layout
+    # (ops/rle.py::rle_encode_sparse16) — run value-deltas at start
+    # positions, zero elsewhere.  The round-5 production interchange:
+    # same bytes as packed16, no device-side compaction, and decode
+    # folds into the inverse einsum.  ``rle_lengths`` may be None until
+    # the entropy pass computes it (the native walk gets it for free).
+    rle_sparse16: bool = False
+    # sparse16: the single (N, 128) device buffer the per-channel views
+    # slice (64 luma + 32 Cr + 32 Cb lanes, ops/pallas_fwd.py).
+    rle_combined: Optional[np.ndarray] = None
     # shared mode: per-channel (codebook, packed bytes, bit count).
     shared_streams: Optional[Dict[str, Tuple[CanonicalCodebook, bytes, int]]] = None
     # per_block mode: per-channel list of '0'/'1' strings (parity artifact).
@@ -168,7 +174,7 @@ class JPEGPipeline:
         self._split_stage = jax.jit(self._split_impl)
         self._mcu_forward = jax.jit(self._mcu_forward_impl)
         self._mcu_inverse = jax.jit(
-            self._mcu_inverse_impl, static_argnames=("packed16",)
+            self._mcu_inverse_impl, static_argnames=("layout",)
         )
         if config.precision == "exact" and not jax.config.jax_enable_x64:
             # Without x64, float64 silently degrades to f32 and the pipeline
@@ -195,22 +201,42 @@ class JPEGPipeline:
             and config.entropy == "shared"
             and all(int(np.min(t)) >= 3 for t in self._tables.values())
         )
-        # RLE compaction engine for the pack16 path: on TPU the 64-lane
-        # (luma) blocks run the Pallas inverse-butterfly kernel
-        # (ops/pallas_rle.py, 1.47× the XLA sort at the production shape,
-        # bit-identical); 32-lane chroma blocks measured at parity and
-        # keep the sort, as does every non-TPU backend.
-        self._pallas_rle = self._pack16 and jax.default_backend() == "tpu"
+        # Round 5: the u16-eligible interchange is the SPARSE-DELTA layout
+        # (ops/rle.py::rle_encode_sparse16) — same bytes as packed16, no
+        # device-side compaction (the sort and both Pallas butterflies
+        # disappear), and decode folds into the inverse einsum.  On TPU
+        # with 8-aligned shapes the whole forward chain runs as the
+        # Pallas megakernel (ops/pallas_fwd.py: color + DCT + sparse RLE
+        # in one VMEM pass, 2.4× the XLA plane chain, bit-identical).
+        self._sparse16 = self._pack16
+        self._megakernel = (
+            self._sparse16 and jax.default_backend() == "tpu"
+        )
         self._forward = jax.jit(self._forward_impl)
         self._inverse = jax.jit(
             self._inverse_impl,
-            static_argnames=("bpc", "bpr", "height", "width", "packed16"),
+            static_argnames=("bpc", "bpr", "height", "width", "layout"),
+        )
+        # sparse16 decode entry: ships the (N, 128) combined buffer once
+        # and slices channels on device (host views are strided; copying
+        # them on the throttled host would dominate decode).
+        self._inverse_sparse = jax.jit(
+            self._inverse_sparse_impl,
+            static_argnames=("bpc", "bpr", "height", "width"),
+        )
+        self._batch_inverse_sparse = jax.jit(
+            lambda comb, bpc, bpr, h, w: jax.vmap(
+                lambda cc: self._inverse_sparse_impl(
+                    cc, bpc=bpc, bpr=bpr, height=h, width=w
+                )
+            )(comb),
+            static_argnums=(1, 2, 3, 4),
         )
         self._batch_inverse = jax.jit(
-            lambda rle, lens, bpc, bpr, h, w, packed16: jax.vmap(
+            lambda rle, lens, bpc, bpr, h, w, layout: jax.vmap(
                 lambda r, l: self._inverse_impl(
                     r, l, bpc=bpc, bpr=bpr, height=h, width=w,
-                    packed16=packed16,
+                    layout=layout,
                 )
             )(rle, lens),
             static_argnums=(2, 3, 4, 5, 6),
@@ -251,18 +277,22 @@ class JPEGPipeline:
 
     def _mcu_forward_impl(self, lum, r, b):
         """MCU batches → per-channel RLE streams (per-bucket compile)."""
-        out = {}
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
+        if self._sparse16:
+            parts = []
+            for name, tiles in (("lum", lum), ("r", r), ("b", b)):
+                zz = forward_channel(tiles, name, self._tables, dtype, fused)
+                sp, _ = rle_encode_sparse16(zz.astype(jnp.int16))
+                parts.append(sp)
+            return jnp.concatenate(parts, axis=1)
+        out = {}
         for name, tiles in (("lum", lum), ("r", r), ("b", b)):
             zz = forward_channel(tiles, name, self._tables, dtype, fused)
-            if self._pack16:
-                out[name] = self._rle_pack16_fn(zz.astype(jnp.int16))
-            else:
-                pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
-                out[name] = (
-                    pairs.astype(jnp.int16), lengths.astype(jnp.int32)
-                )
+            pairs, lengths = rle_encode_batched(zz.astype(jnp.int16))
+            out[name] = (
+                pairs.astype(jnp.int16), lengths.astype(jnp.int32)
+            )
         return out
 
     def encode_bucketed(self, rgb: np.ndarray, entropy: bool = True) -> "JPEGEncoded":
@@ -282,121 +312,63 @@ class JPEGPipeline:
         streams = jax.device_get(
             self._mcu_forward(padded(lum), padded(r), padded(b))
         )
-        enc = JPEGEncoded(
-            height=h,
-            width=w,
-            blocks_per_col=bpc,
-            blocks_per_row=bpr,
-            rle={
-                c: np.asarray(
-                    streams[c][0][:n],
-                    dtype=np.uint16 if self._pack16 else np.int32,
-                )
-                for c in CHANNELS
-            },
-            rle_lengths={
-                c: np.asarray(streams[c][1][:n]) for c in CHANNELS
-            },
-            rle_packed16=self._pack16,
-            quality=self.config.quality,
-        )
+        if self._sparse16:
+            enc = self._wrap_sparse(streams[:n], h, w, bpc, bpr)
+        else:
+            enc = JPEGEncoded(
+                height=h,
+                width=w,
+                blocks_per_col=bpc,
+                blocks_per_row=bpr,
+                rle={
+                    c: np.asarray(streams[c][0][:n], np.int32)
+                    for c in CHANNELS
+                },
+                rle_lengths={
+                    c: np.asarray(streams[c][1][:n]) for c in CHANNELS
+                },
+                quality=self.config.quality,
+            )
         if entropy:
             self.entropy_encode(enc)
         return enc
 
-    def _rle_pack16_fn(self, zz_i16: jnp.ndarray):
-        """Production pack16 compaction: Pallas butterfly for 64-lane
-        blocks on TPU, XLA sort-diff otherwise (bit-identical outputs)."""
-        if self._pallas_rle and zz_i16.shape[-1] == 64:
-            from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas
-
-            return rle_encode_packed16_pallas(zz_i16)
-        return rle_encode_packed16(zz_i16)
-
     def _forward_rle_impl(self, rgb: jnp.ndarray):
-        """Forward returning only what ``encode`` ships to the host: RLE
-        pairs as int16 + lengths.  Host↔device bandwidth is the bottleneck
-        (HBM-vs-PCIe/tunnel, SURVEY.md §7), so the zigzag intermediates stay
-        on device and the pairs travel at half width — counts are ≤64 and
-        quantized coefficients are bounded by ±(8·128)/min(table) ≈ ±341,
-        both well inside int16."""
-        if self._pack16:
-            # Straight from the zz stream, skipping _forward_impl's
-            # interleaved-pair RLE entirely (the pairs would be dead code;
-            # computing packed16 from them instead costs ~1.1 ms/frame in
-            # strided even/odd slices, see ops/rle.py).
+        """Forward returning only what ``encode`` ships to the host.
+
+        sparse16 mode (the production fast path): ONE (N, 128) uint16
+        combined sparse-delta buffer (64 luma + 32 Cr + 32 Cb lanes per
+        block) — on TPU with 8-aligned shapes via the Pallas megakernel
+        (color + DCT + RLE in one VMEM pass), otherwise via the XLA tile
+        chain + sparse epilogue (bit-identical, tests/test_pallas_fwd.py).
+        No lengths side channel: the host entropy walk derives lengths
+        for free, and an (N, 1) device output pays ~8 ms of lane-padding
+        write amplification (profiles/probe_megakernel_ablate.py).
+
+        Pair mode falls back to int16 interleaved pairs + lengths."""
+        if self._sparse16:
+            h, w = rgb.shape[:2]
+            if self._megakernel and h % 8 == 0 and w % 8 == 0:
+                from lz4jpeg_tpu.ops.pallas_fwd import (
+                    forward_megakernel,
+                    rgb_to_kt,
+                )
+
+                return forward_megakernel(
+                    rgb_to_kt(rgb), self._tables["lum"], self._tables["r"]
+                )
             dtype = self.config.dtype
             fused = self.config.precision == "fast"
             y, cr, cb = rgb_to_ycbcr(rgb, dtype)
-            cr_sub = chroma_subsample_422(cr)
-            cb_sub = chroma_subsample_422(cb)
-            h, w = rgb.shape[:2]
-            plane_fwd = False
-            if self._pallas_rle and h % 8 == 0 and w % 8 == 0:
-                bw_real = w // 8
-                pad_cols = (-bw_real) % 128
-                # Pad-widened plane path: zero block-columns pad bw to the
-                # kt kernel's 128-lane tile, their (64,0)-pair rows are
-                # sliced back out after the RLE kernel.  Worth it only
-                # while the padded work stays near the real work
-                # (measured crossover: results/formulation_ab.json::
-                # plane_pad_gate_round4).
-                plane_fwd = (
-                    (bw_real + pad_cols) / bw_real <= PLANE_PAD_MAX_FWD
-                )
-            if plane_fwd:
-                # Plane-view forward: the fused einsum contracts straight
-                # over the plane (no 8×8 tile relayout) and emits block
-                # positions along the middle axis — the exact layout the
-                # sublane-butterfly RLE kernel consumes, which transposes
-                # back to block-row-major in VMEM.  Bit-identical to the
-                # tile path (ops/fused.py docstring); shapes where a
-                # channel's block-column count is not a 128 multiple fall
-                # through to the tile path below.
-                from lz4jpeg_tpu.ops.fused import fused_forward_plane_jnp
-                from lz4jpeg_tpu.ops.pallas_rle import (
-                    rle_encode_packed16_pallas_kt,
-                )
-
-                # Row padding keeps the kt kernel's grid chunking on
-                # 8-multiples (its runs output tiles sublanes by 8);
-                # padded rows/cols are zero blocks sliced out below.
-                bh_real = h // 8
-                pad_rows = (-bh_real) % 8
-                out = {}
-                for name, plane in (
-                    ("lum", y), ("r", cr_sub), ("b", cb_sub)
-                ):
-                    tw = _CHANNEL_SHAPES[name][1]
-                    if pad_cols or pad_rows:
-                        plane = jnp.pad(
-                            plane,
-                            ((0, 8 * pad_rows), (0, tw * pad_cols)),
-                        )
-                    zz_kt = fused_forward_plane_jnp(
-                        plane, self._tables[name], tw, dtype
-                    )
-                    packed, lengths = rle_encode_packed16_pallas_kt(
-                        zz_kt.astype(jnp.int16)
-                    )
-                    if pad_cols or pad_rows:
-                        bwp = bw_real + pad_cols
-                        seg = packed.shape[-1]
-                        packed = packed.reshape(-1, bwp, seg)[
-                            :bh_real, :bw_real
-                        ].reshape(-1, seg)
-                        lengths = lengths.reshape(-1, bwp)[
-                            :bh_real, :bw_real
-                        ].reshape(-1)
-                    out[name] = (packed, lengths.astype(jnp.int32))
-                return out
-            lum, r, b = split_mcus(y, cr_sub, cb_sub)
-            out = {}
+            lum, r, b = split_mcus(
+                y, chroma_subsample_422(cr), chroma_subsample_422(cb)
+            )
+            parts = []
             for name, tiles in (("lum", lum), ("r", r), ("b", b)):
                 zz = forward_channel(tiles, name, self._tables, dtype, fused)
-                packed, lengths = self._rle_pack16_fn(zz.astype(jnp.int16))
-                out[name] = (packed, lengths.astype(jnp.int32))
-            return out
+                sp, _ = rle_encode_sparse16(zz.astype(jnp.int16))
+                parts.append(sp)
+            return jnp.concatenate(parts, axis=1)
         out = self._forward_impl(rgb)
         return {
             c: (v["rle"].astype(jnp.int16), v["rle_lengths"].astype(jnp.int32))
@@ -412,59 +384,35 @@ class JPEGPipeline:
         bpr: int,
         height: int,
         width: int,
-        packed16: bool = False,
+        layout: str = "pairs",
     ) -> jnp.ndarray:
-        """Padded RLE pairs → reconstructed RGB.  Mirrors the inverse chain
-        JPEG.c:1348-1428.
+        """Padded RLE streams → reconstructed RGB.  Mirrors the inverse
+        chain JPEG.c:1348-1428.
 
-        On TPU with the pack16 layout and ``bpr % 128 == 0`` the whole
-        chain runs in PLANE view — KT-output decode butterfly → plane
-        inverse einsum → plane color merge — with no per-MCU tile
-        relayout anywhere (the decode mirror of the round-3 plane
-        forward; ``merge_mcus`` measured 8.6 GB/s vs the 386 GB/s stream
-        ceiling and dominated decode, ``results/roofline_jpeg_inverse
-        .json``)."""
+        sparse16 (the production fast path): the RLE expansion FOLDS into
+        the inverse einsum — deltas contract against the suffix-summed
+        basis (``ops/fused.py::inverse_suffix_basis``) in plane view with
+        the 4:2:2 upsample also folded, so the chain is one einsum + the
+        color merge per channel (2.03× the round-4 expand-kernel chain;
+        no Pallas, no 128-lane width constraint, any bpr works).
+
+        packed16 / pairs: the staged tile path (membership einsum →
+        IDCT → MCU merge)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
-        pad_cols = (-bpr) % 128
-        plane_ok = (
-            packed16
-            and fused
-            and self._pallas_rle
-            and rle["lum"].shape[-2] == bpc * bpr
-            and rle["lum"].shape[-1] == 64
-            # Pad-widened plane decode: zero pair rows pad bpr to the
-            # kernel's 128-lane tile and the wider planes crop back.  The
-            # tile path's merge_mcus runs at 8.6 GB/s (roofline_jpeg_
-            # inverse.json), so the plane path wins even at 2× padded
-            # work; only tiny widths fall back.
-            and (bpr + pad_cols) / bpr <= PLANE_PAD_MAX_INV
-        )
-        if plane_ok:
+        if layout == "sparse16" and fused:
             from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
-            from lz4jpeg_tpu.ops.fused import fused_inverse_plane_jnp
-            from lz4jpeg_tpu.ops.pallas_rle import (
-                rle_decode_packed16_pallas_plane,
-            )
+            from lz4jpeg_tpu.ops.fused import fused_inverse_plane_sparse_jnp
 
-            bwp = bpr + pad_cols
             planes = {}
             for name in CHANNELS:
                 tw = _CHANNEL_SHAPES[name][1]
-                pairs = rle[name]
-                if pad_cols:
-                    k = pairs.shape[-1]
-                    pairs = jnp.pad(
-                        pairs.reshape(bpc, bpr, k),
-                        ((0, 0), (0, pad_cols), (0, 0)),
-                    ).reshape(bpc * bwp, k)
-                zz_kt = rle_decode_packed16_pallas_plane(pairs, bwp)
-                plane = fused_inverse_plane_jnp(
-                    zz_kt, self._tables[name], tw, dtype,
-                    # Chroma: fold the 4:2:2 upsample into the basis —
-                    # the MXU emits both pixels of a sample and the
-                    # color merge never pays the lane-interleave repeat
-                    # (106 → 56 ms end to end at 2048²×64, bit-equal).
+                k = 8 * tw
+                w16 = rle[name].astype(jnp.int32)
+                d = jnp.where(w16 != 0, w16 - SPARSE16_DELTA_BIAS, 0)
+                d_kt = jnp.transpose(d.reshape(bpc, bpr, k), (0, 2, 1))
+                plane = fused_inverse_plane_sparse_jnp(
+                    d_kt, self._tables[name], tw, dtype,
                     upsample_cols=(name != "lum"),
                 )
                 # Materialization barrier: letting XLA fuse the inverse
@@ -481,54 +429,86 @@ class JPEGPipeline:
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
             zz = self._rle_decode_fn(
-                rle[name], rle_lengths[name], h * w, packed16
+                rle[name], rle_lengths[name], h * w, layout
             )
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return ycbcr_to_rgb_mcus(
             rec["lum"], rec["r"], rec["b"], bpc, bpr, height, width, dtype
         )
 
-    def _rle_decode_fn(self, pairs, lengths, out_size: int, packed16: bool):
-        """Production RLE expansion: the Pallas expansion butterfly on TPU
-        for aligned packed16 shapes (3.2×/1.5× the membership einsum on
-        luma/chroma, bit-identical — results/pallas_ab.json round 3), the
-        XLA membership einsum otherwise."""
-        if not packed16:
-            return rle_decode_batched(pairs, lengths, out_size)
-        if (
-            self._pallas_rle
-            and pairs.shape[-1] == out_size
-            and pairs.shape[-2] % 128 == 0
-        ):
-            from lz4jpeg_tpu.ops.pallas_rle import rle_decode_packed16_pallas
+    def _inverse_sparse_impl(
+        self, combined: jnp.ndarray, *, bpc: int, bpr: int,
+        height: int, width: int,
+    ) -> jnp.ndarray:
+        """(N, 128) combined sparse buffer → RGB (channel slicing on
+        device, then the folded-einsum inverse of ``_inverse_impl``)."""
+        from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
 
-            return rle_decode_packed16_pallas(pairs, lengths, out_size)
-        return rle_decode_packed16(pairs, lengths, out_size)
+        rle = {
+            "lum": combined[:, LUM_SLICE],
+            "r": combined[:, CR_SLICE],
+            "b": combined[:, CB_SLICE],
+        }
+        dummy = {c: jnp.zeros(combined.shape[0], jnp.int32) for c in CHANNELS}
+        return self._inverse_impl(
+            rle, dummy, bpc=bpc, bpr=bpr, height=height, width=width,
+            layout="sparse16",
+        )
+
+    def _rle_decode_fn(self, pairs, lengths, out_size: int, layout: str):
+        """Staged-path RLE expansion (pairs / packed16 / exact-mode
+        sparse16): the XLA formulations — the production sparse16 fast
+        path never calls this (the expansion folds into the einsum)."""
+        if layout == "sparse16":
+            return rle_decode_sparse16(pairs)
+        if layout == "packed16":
+            return rle_decode_packed16(pairs, lengths, out_size)
+        return rle_decode_batched(pairs, lengths, out_size)
 
     # ------------------------------------------------------------------
     # Public API
     # ------------------------------------------------------------------
 
-    def encode(self, rgb: np.ndarray, entropy: Optional[bool] = True) -> JPEGEncoded:
-        h, w = rgb.shape[:2]
-        bpc, bpr = -(-h // 8), -(-w // 8)
-        slim = jax.device_get(self._forward_rle(jnp.asarray(rgb)))
-        enc = JPEGEncoded(
+    def _wrap_sparse(
+        self, combined: np.ndarray, h: int, w: int, bpc: int, bpr: int
+    ) -> JPEGEncoded:
+        """(N, 128) combined sparse buffer → JPEGEncoded with per-channel
+        views (no copies; lengths stay lazy until the entropy walk)."""
+        from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
+
+        combined = np.asarray(combined)
+        return JPEGEncoded(
             height=h,
             width=w,
             blocks_per_col=bpc,
             blocks_per_row=bpr,
             rle={
-                c: np.asarray(
-                    slim[c][0],
-                    dtype=np.uint16 if self._pack16 else np.int32,
-                )
-                for c in CHANNELS
+                "lum": combined[:, LUM_SLICE],
+                "r": combined[:, CR_SLICE],
+                "b": combined[:, CB_SLICE],
             },
-            rle_lengths={c: np.asarray(slim[c][1]) for c in CHANNELS},
-            rle_packed16=self._pack16,
+            rle_lengths=None,
+            rle_sparse16=True,
+            rle_combined=combined,
             quality=self.config.quality,
         )
+
+    def encode(self, rgb: np.ndarray, entropy: Optional[bool] = True) -> JPEGEncoded:
+        h, w = rgb.shape[:2]
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        slim = jax.device_get(self._forward_rle(jnp.asarray(rgb)))
+        if self._sparse16:
+            enc = self._wrap_sparse(slim, h, w, bpc, bpr)
+        else:
+            enc = JPEGEncoded(
+                height=h,
+                width=w,
+                blocks_per_col=bpc,
+                blocks_per_row=bpr,
+                rle={c: np.asarray(slim[c][0], np.int32) for c in CHANNELS},
+                rle_lengths={c: np.asarray(slim[c][1]) for c in CHANNELS},
+                quality=self.config.quality,
+            )
         if entropy:
             self.entropy_encode(enc)
         return enc
@@ -548,22 +528,23 @@ class JPEGPipeline:
         )
         out = []
         for i in range(b):
-            enc = JPEGEncoded(
-                height=h,
-                width=w,
-                blocks_per_col=bpc,
-                blocks_per_row=bpr,
-                rle={
-                    c: np.asarray(
-                        slim[c][0][i],
-                        dtype=np.uint16 if self._pack16 else np.int32,
-                    )
-                    for c in CHANNELS
-                },
-                rle_lengths={c: np.asarray(slim[c][1][i]) for c in CHANNELS},
-                rle_packed16=self._pack16,
-                quality=self.config.quality,
-            )
+            if self._sparse16:
+                enc = self._wrap_sparse(slim[i], h, w, bpc, bpr)
+            else:
+                enc = JPEGEncoded(
+                    height=h,
+                    width=w,
+                    blocks_per_col=bpc,
+                    blocks_per_row=bpr,
+                    rle={
+                        c: np.asarray(slim[c][0][i], np.int32)
+                        for c in CHANNELS
+                    },
+                    rle_lengths={
+                        c: np.asarray(slim[c][1][i]) for c in CHANNELS
+                    },
+                    quality=self.config.quality,
+                )
             if entropy:
                 self.entropy_encode(enc)
             out.append(enc)
@@ -580,6 +561,54 @@ class JPEGPipeline:
     def entropy_encode(self, enc: JPEGEncoded) -> JPEGEncoded:
         mode = self.config.entropy
         enc.entropy_mode = mode
+        if mode == "shared" and enc.rle_sparse16:
+            from lz4jpeg_tpu.native import native_available, native_backend
+            from lz4jpeg_tpu.ops.huffman import (
+                build_canonical_codebook,
+                pack_symbols,
+            )
+            from lz4jpeg_tpu.ops.pallas_fwd import (
+                CB_SLICE, CR_SLICE, LUM_SLICE,
+            )
+
+            native = native_backend() if native_available() else None
+            enc.shared_streams = {}
+            lengths = {}
+            comb = enc.rle_combined
+            cols = {"lum": LUM_SLICE.start, "r": CR_SLICE.start,
+                    "b": CB_SLICE.start}
+            offset = 2048
+            for c in CHANNELS:
+                row_len = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
+                if native is not None:
+                    # Native walk over the combined buffer in place: the
+                    # histogram pass also yields the per-block symbol
+                    # lengths (the device never ships a lengths side
+                    # channel in this layout).
+                    if comb is not None:
+                        buf, col = comb, cols[c]
+                    else:
+                        buf, col = np.ascontiguousarray(enc.rle[c]), 0
+                    counts, lens_c, total = native.rle_symbol_hist_sparse16(
+                        buf, col, row_len, offset, 2 * offset
+                    )
+                    (bins,) = np.nonzero(counts)
+                    codebook = build_canonical_codebook_from_counts(
+                        bins.astype(np.int64) - offset, counts[bins]
+                    )
+                    packed, nbits = native.huff_pack_sparse16(
+                        buf, col, row_len, codebook, total
+                    )
+                else:
+                    symbols, lens_c = _sparse_symbols_host(
+                        np.asarray(enc.rle[c])
+                    )
+                    codebook = build_canonical_codebook(symbols)
+                    packed, nbits = pack_symbols(symbols, codebook)
+                enc.shared_streams[c] = (codebook, packed, nbits)
+                lengths[c] = lens_c
+            enc.rle_lengths = lengths
+            return enc
         if mode == "shared":
             from lz4jpeg_tpu.native import native_available, native_backend
 
@@ -652,7 +681,46 @@ class JPEGPipeline:
         return enc
 
     def entropy_decode(self, enc: JPEGEncoded) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
-        """Recover padded RLE pairs from the entropy bitstreams."""
+        """Recover padded RLE streams from the entropy bitstreams (the
+        enc's own layout: sparse16 rebuilds the combined buffer in place
+        and refreshes ``enc.rle_combined``)."""
+        if enc.entropy_mode == "shared" and enc.rle_sparse16:
+            from lz4jpeg_tpu.native import native_available, native_backend
+            from lz4jpeg_tpu.ops.huffman import unpack_symbols
+            from lz4jpeg_tpu.ops.pallas_fwd import (
+                CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
+            )
+
+            native = native_backend() if native_available() else None
+            combined = np.zeros(
+                (enc.num_blocks, COMBINED_LANES), np.uint16
+            )
+            slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+            lengths = {}
+            for c in CHANNELS:
+                codebook, packed, nbits = enc.shared_streams[c]
+                block_size = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
+                got = None
+                if native is not None:
+                    got = native.huff_unpack_sparse16(
+                        packed, nbits, codebook, block_size,
+                        enc.num_blocks, out_sparse=combined,
+                        col_off=slices[c].start,
+                    )
+                if got is None:
+                    symbols = unpack_symbols(packed, nbits, codebook)
+                    pairs, lens = _split_symbols(
+                        symbols, enc.num_blocks, 2 * block_size, block_size
+                    )
+                    sp, lens = _pairs_to_sparse_host(pairs, lens, block_size)
+                    combined[:, slices[c]] = sp
+                    lengths[c] = lens
+                else:
+                    lengths[c] = got[1]
+            enc.rle_combined = combined
+            enc.rle = {c: combined[:, slices[c]] for c in CHANNELS}
+            enc.rle_lengths = lengths
+            return enc.rle, lengths
         if enc.entropy_mode == "shared":
             from lz4jpeg_tpu.native import native_available, native_backend
 
@@ -697,19 +765,45 @@ class JPEGPipeline:
             return enc.rle, enc.rle_lengths
         return enc.rle, enc.rle_lengths
 
+    @staticmethod
+    def _layout_of(enc: JPEGEncoded) -> str:
+        if enc.rle_sparse16:
+            return "sparse16"
+        return "packed16" if enc.rle_packed16 else "pairs"
+
+    @staticmethod
+    def _lengths_or_dummy(rle, lengths):
+        """sparse16 needs no lengths side channel; feed zeros so the jit
+        signature stays uniform (tiny arrays, validity is implicit)."""
+        if lengths is not None:
+            return {c: jnp.asarray(lengths[c]) for c in CHANNELS}
+        return {
+            c: jnp.zeros(np.asarray(rle[c]).shape[0], jnp.int32)
+            for c in CHANNELS
+        }
+
     def decode(self, enc: JPEGEncoded, from_entropy: bool = True) -> np.ndarray:
         if from_entropy and enc.entropy_mode is not None:
             rle, lengths = self.entropy_decode(enc)
         else:
             rle, lengths = enc.rle, enc.rle_lengths
+        if self._layout_of(enc) == "sparse16" and enc.rle_combined is not None:
+            rgb = self._inverse_sparse(
+                jnp.asarray(enc.rle_combined),
+                bpc=enc.blocks_per_col,
+                bpr=enc.blocks_per_row,
+                height=enc.height,
+                width=enc.width,
+            )
+            return np.asarray(jax.device_get(rgb))
         rgb = self._inverse(
-            {c: jnp.asarray(rle[c]) for c in CHANNELS},
-            {c: jnp.asarray(lengths[c]) for c in CHANNELS},
+            {c: jnp.asarray(np.ascontiguousarray(rle[c])) for c in CHANNELS},
+            self._lengths_or_dummy(rle, lengths),
             bpc=enc.blocks_per_col,
             bpr=enc.blocks_per_row,
             height=enc.height,
             width=enc.width,
-            packed16=enc.rle_packed16,
+            layout=self._layout_of(enc),
         )
         return np.asarray(jax.device_get(rgb))
 
@@ -721,9 +815,9 @@ class JPEGPipeline:
         if not encs:
             return []
         e0 = encs[0]
-        key = (e0.height, e0.width, e0.rle_packed16)
+        key = (e0.height, e0.width, self._layout_of(e0))
         for e in encs[1:]:
-            if (e.height, e.width, e.rle_packed16) != key:
+            if (e.height, e.width, self._layout_of(e)) != key:
                 raise ValueError(
                     "decode_batch requires same-size encodes with one RLE "
                     "layout; decode() them individually instead"
@@ -734,22 +828,38 @@ class JPEGPipeline:
                 streams.append(self.entropy_decode(e))
             else:
                 streams.append((e.rle, e.rle_lengths))
+        if key[2] == "sparse16" and all(
+            e.rle_combined is not None for e in encs
+        ):
+            comb = jnp.asarray(np.stack([e.rle_combined for e in encs]))
+            rgb = self._batch_inverse_sparse(
+                comb, e0.blocks_per_col, e0.blocks_per_row,
+                e0.height, e0.width,
+            )
+            rgb = np.asarray(jax.device_get(rgb))
+            return [rgb[i] for i in range(len(encs))]
         rle_b = {
-            c: jnp.asarray(np.stack([s[0][c] for s in streams]))
+            c: jnp.asarray(
+                np.stack([np.ascontiguousarray(s[0][c]) for s in streams])
+            )
             for c in CHANNELS
         }
         len_b = {
-            c: jnp.asarray(np.stack([s[1][c] for s in streams]))
+            c: jnp.asarray(np.stack([
+                np.asarray(s[1][c]) if s[1] is not None
+                else np.zeros(np.asarray(s[0][c]).shape[0], np.int32)
+                for s in streams
+            ]))
             for c in CHANNELS
         }
         rgb = self._batch_inverse(
             rle_b, len_b, e0.blocks_per_col, e0.blocks_per_row,
-            e0.height, e0.width, e0.rle_packed16,
+            e0.height, e0.width, key[2],
         )
         rgb = np.asarray(jax.device_get(rgb))
         return [rgb[i] for i in range(len(encs))]
 
-    def _mcu_inverse_impl(self, rle, rle_lengths, packed16: bool = False):
+    def _mcu_inverse_impl(self, rle, rle_lengths, layout: str = "pairs"):
         """Padded RLE → per-channel pixel tiles (per-bucket compile)."""
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
@@ -757,7 +867,7 @@ class JPEGPipeline:
         for name in CHANNELS:
             h, w = _CHANNEL_SHAPES[name]
             zz = self._rle_decode_fn(
-                rle[name], rle_lengths[name], h * w, packed16
+                rle[name], rle_lengths[name], h * w, layout
             )
             rec[name] = inverse_channel(zz, name, self._tables, dtype, fused)
         return rec
@@ -775,13 +885,16 @@ class JPEGPipeline:
         bucket = 1 << (n - 1).bit_length() if n > 1 else 1
         pad = bucket - n
         rle_j = {
-            c: jnp.pad(jnp.asarray(rle[c]), ((0, pad), (0, 0)))
+            c: jnp.pad(
+                jnp.asarray(np.ascontiguousarray(rle[c])), ((0, pad), (0, 0))
+            )
             for c in CHANNELS
         }
         len_j = {
-            c: jnp.pad(jnp.asarray(lengths[c]), (0, pad)) for c in CHANNELS
+            c: jnp.pad(v, (0, pad))
+            for c, v in self._lengths_or_dummy(rle, lengths).items()
         }
-        rec = self._mcu_inverse(rle_j, len_j, packed16=enc.rle_packed16)
+        rec = self._mcu_inverse(rle_j, len_j, layout=self._layout_of(enc))
         rgb = ycbcr_to_rgb_mcus(
             rec["lum"][:n], rec["r"][:n], rec["b"][:n],
             enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
@@ -817,6 +930,52 @@ def _pack16_host(pairs: np.ndarray) -> np.ndarray:
     vals = pairs[:, 1::2].astype(np.int32)
     packed = (np.maximum(counts - 1, 0) << 10) | (vals + 512)
     return np.where(counts > 0, packed, 0).astype(np.uint16)
+
+
+def _sparse_symbols_host(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, K) sparse-delta uint16 → (flat [count, value, ...] symbol
+    stream, (N,) per-block symbol lengths) — the vectorized numpy twin of
+    the native walk (fallback paths only)."""
+    w = np.asarray(w).astype(np.int64)
+    n, k = w.shape
+    d = np.where(w != 0, w - SPARSE16_DELTA_BIAS, 0)
+    vals_full = np.cumsum(d, axis=1)
+    starts = w != 0
+    rows, colidx = np.nonzero(starts)
+    nxt = np.empty_like(colidx)
+    if len(colidx):
+        same = rows[1:] == rows[:-1]
+        nxt[:-1] = np.where(same, colidx[1:], k)
+        nxt[-1] = k
+    counts = nxt - colidx
+    values = vals_full[rows, colidx]
+    out = np.empty(2 * len(colidx), np.int64)
+    out[0::2] = counts
+    out[1::2] = values
+    return out, 2 * starts.sum(axis=1).astype(np.int32)
+
+
+def _pairs_to_sparse_host(
+    pairs: np.ndarray, lengths: np.ndarray, block_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 2K) int pairs + lengths → ((N, block_size) sparse-delta uint16,
+    lengths) — numpy fallback for the quirk-compatible decode path."""
+    pairs = np.asarray(pairs, np.int64)
+    counts = pairs[:, 0::2]
+    vals = pairs[:, 1::2]
+    k = counts.shape[1]
+    valid = np.arange(k)[None, :] < (np.asarray(lengths) // 2)[:, None]
+    counts = np.where(valid, counts, 0)
+    starts_pos = np.cumsum(counts, axis=1) - counts  # run start positions
+    prev_vals = np.zeros_like(vals)
+    prev_vals[:, 1:] = vals[:, :-1]
+    deltas = np.where(valid, vals - prev_vals, 0)
+    sp = np.zeros((pairs.shape[0], block_size), np.uint16)
+    rows, slots = np.nonzero(valid)
+    sp[rows, starts_pos[rows, slots]] = (
+        deltas[rows, slots] + SPARSE16_DELTA_BIAS
+    ).astype(np.uint16)
+    return sp, np.asarray(lengths, np.int32)
 
 
 def _valid_symbols(pairs: np.ndarray, lengths: np.ndarray) -> np.ndarray:

@@ -113,6 +113,29 @@ class NativeBackend:
         lib.huff_pack_pairs16.argtypes = lib.huff_pack_pairs.argtypes
         lib.huff_unpack_pairs16.restype = ctypes.c_int64
         lib.huff_unpack_pairs16.argtypes = lib.huff_unpack_pairs.argtypes
+        # sparse-delta RLE layout variants (ops/rle.py sparse16): all take
+        # (row stride, column offset) so they walk the combined (N, 128)
+        # device buffer in place
+        lib.rle_symbol_hist_sparse16.restype = ctypes.c_int64
+        lib.rle_symbol_hist_sparse16.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
+        lib.huff_pack_sparse16.restype = ctypes.c_int64
+        lib.huff_pack_sparse16.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
+        lib.huff_unpack_sparse16.restype = ctypes.c_int64
+        lib.huff_unpack_sparse16.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.huff_per_block_ascii.restype = ctypes.c_int64
         lib.huff_per_block_ascii.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
@@ -431,6 +454,89 @@ class NativeBackend:
         if n < 0:
             return None
         return out_pairs, out_lengths
+
+    def rle_symbol_hist_sparse16(
+        self, sparse, col_off: int, row_len: int, offset: int, nbins: int
+    ):
+        """Symbol histogram over one channel of a sparse-delta buffer
+        (ops/rle.py::rle_encode_sparse16), walked IN PLACE: ``sparse`` is
+        the (N, stride) uint16 combined array (stride = 128 for the
+        megakernel layout, or == row_len for a single channel) and
+        ``col_off``/``row_len`` select the channel lanes.  Also returns
+        the per-block symbol lengths (2·runs) — the device never ships a
+        lengths side channel in this layout."""
+        import numpy as np
+
+        sparse = np.ascontiguousarray(sparse, np.uint16)
+        counts = np.zeros(nbins, np.int64)
+        out_lengths = np.zeros(sparse.shape[0], np.int32)
+        total = self._lib.rle_symbol_hist_sparse16(
+            sparse.ctypes.data, sparse.shape[0], row_len, sparse.shape[1],
+            col_off, offset, counts.ctypes.data, nbins,
+            out_lengths.ctypes.data,
+        )
+        if total < 0:
+            raise RuntimeError(f"native sparse16 hist failed ({total})")
+        return counts, out_lengths, int(total)
+
+    def huff_pack_sparse16(
+        self, sparse, col_off: int, row_len: int, codebook, total_symbols: int
+    ) -> tuple:
+        """``huff_pack_pairs16`` over one channel of a sparse-delta
+        combined buffer (symbols reconstructed during the walk)."""
+        import numpy as np
+
+        sparse = np.ascontiguousarray(sparse, np.uint16)
+        base = int(codebook.symbols.min())
+        size = int(codebook.symbols.max()) - base + 1
+        lut_codes = np.zeros(size, np.uint32)
+        lut_lens = np.zeros(size, np.uint8)
+        lut_codes[codebook.symbols - base] = codebook.codes
+        lut_lens[codebook.symbols - base] = codebook.lengths
+        cap = total_symbols * 4 + 16  # ≤32 bits per symbol
+        out = ctypes.create_string_buffer(cap)
+        nbits = ctypes.c_uint64(0)
+        n = self._lib.huff_pack_sparse16(
+            sparse.ctypes.data, sparse.shape[0], row_len, sparse.shape[1],
+            col_off, base,
+            lut_codes.ctypes.data, lut_lens.ctypes.data, size,
+            out, cap, ctypes.byref(nbits),
+        )
+        if n < 0:
+            raise RuntimeError(f"native sparse16 pack failed ({n})")
+        return out.raw[:n], int(nbits.value)
+
+    def huff_unpack_sparse16(
+        self, packed: bytes, nbits: int, codebook,
+        block_size: int, num_blocks: int,
+        out_sparse=None, col_off: int = 0,
+    ):
+        """Decode straight into the sparse-delta layout (h2d-ready).
+
+        ``out_sparse`` may be a pre-allocated zeroed (N, stride) uint16
+        combined buffer to decode several channels in place; defaults to
+        a fresh (N, block_size) array.  Returns (out_sparse, lengths) or
+        None if the stream needs the quirk-compatible Python path."""
+        import numpy as np
+
+        if (nbits + 7) // 8 > len(packed):
+            raise ValueError(
+                f"bit count {nbits} exceeds packed buffer of {len(packed)} bytes"
+            )
+        lengths = np.ascontiguousarray(codebook.lengths, np.uint8)
+        symbols = np.ascontiguousarray(codebook.symbols, np.int32)
+        if out_sparse is None:
+            out_sparse = np.zeros((num_blocks, block_size), np.uint16)
+        out_lengths = np.zeros(num_blocks, np.int32)
+        n = self._lib.huff_unpack_sparse16(
+            packed, nbits,
+            lengths.tobytes(), symbols.ctypes.data, len(symbols),
+            block_size, num_blocks, out_sparse.shape[1], col_off,
+            out_sparse.ctypes.data, out_lengths.ctypes.data,
+        )
+        if n < 0:
+            return None
+        return out_sparse, out_lengths
 
     def huff_per_block(self, pairs, lengths):
         """Parity-mode per-block Huffman (reference JPEG.c:844-1097 via the

@@ -1095,6 +1095,200 @@ int64_t huff_unpack_pairs16(const uint8_t* packed, uint64_t nbits,
   return n_sym;
 }
 
+// ---- sparse-delta RLE layout (sparse16) ------------------------------
+// ops/rle.py::rle_encode_sparse16: slot m holds (value - prev_value) +
+// 1024 at run starts (prev_value := 0 at slot 0), 0 elsewhere.  The
+// device ships ONE combined (N, stride) buffer (64 luma + 32 Cr + 32 Cb
+// lanes per block, ops/pallas_fwd.py), so every pass below takes a row
+// stride and a column offset and walks the channel in place — no
+// per-channel host copies.  Symbols are reconstructed as the same
+// [count, value] stream the pair layout carries (count = gap to the
+// next start; the last run extends to row_len).
+
+}  // extern "C"  (template helper below needs C++ linkage)
+
+// Shared walker: calls fn(count, value) for each run of one row.
+// Returns the number of runs, or a negative error.
+template <typename Fn>
+static inline int64_t walk_sparse16_row(const uint16_t* row, size_t row_len,
+                                        Fn&& fn) {
+  if (row_len == 0 || row[0] == 0) return kErrBadInput;  // slot 0 = start
+  int64_t runs = 0;
+  int32_t value = 0;
+  size_t start = 0;
+  int32_t pending = 0;
+  for (size_t m = 0; m < row_len; ++m) {
+    uint16_t w = row[m];
+    if (w == 0) continue;
+    if (w < 2 || w > 2046) return kErrBadInput;  // biased delta range
+    if (m > 0) {
+      if (!fn(static_cast<int32_t>(m - start), pending)) return kErrOutputFull;
+      ++runs;
+    }
+    value += static_cast<int32_t>(w) - 1024;
+    if (value < -512 || value > 511) return kErrBadInput;
+    pending = value;
+    start = m;
+  }
+  if (!fn(static_cast<int32_t>(row_len - start), pending)) return kErrOutputFull;
+  return runs + 1;
+}
+
+extern "C" {
+
+int64_t rle_symbol_hist_sparse16(const uint16_t* sparse, size_t n_rows,
+                                 size_t row_len, size_t stride,
+                                 size_t col_off, int64_t offset,
+                                 int64_t* counts, size_t nbins,
+                                 int32_t* out_lengths) {
+  int64_t total = 0;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const uint16_t* row = sparse + r * stride + col_off;
+    bool bad = false;
+    int64_t runs = walk_sparse16_row(row, row_len, [&](int32_t c, int32_t v) {
+      int64_t cb = static_cast<int64_t>(c) + offset;
+      int64_t vb = static_cast<int64_t>(v) + offset;
+      if (cb < 0 || cb >= static_cast<int64_t>(nbins) || vb < 0 ||
+          vb >= static_cast<int64_t>(nbins)) {
+        bad = true;
+        return false;
+      }
+      ++counts[cb];
+      ++counts[vb];
+      return true;
+    });
+    if (runs < 0 || bad) return kErrBadInput;
+    if (out_lengths) out_lengths[r] = static_cast<int32_t>(2 * runs);
+    total += 2 * runs;
+  }
+  return total;
+}
+
+int64_t huff_pack_sparse16(const uint16_t* sparse, size_t n_rows,
+                           size_t row_len, size_t stride, size_t col_off,
+                           int64_t lut_base, const uint32_t* lut_codes,
+                           const uint8_t* lut_lens, size_t lut_size,
+                           uint8_t* out, size_t out_cap,
+                           uint64_t* nbits_out) {
+  uint64_t acc = 0;
+  int acc_bits = 0;
+  size_t w = 0;
+  uint64_t nbits = 0;
+  bool full = false, bad = false;
+  for (size_t r = 0; r < n_rows; ++r) {
+    const uint16_t* row = sparse + r * stride + col_off;
+    int64_t runs = walk_sparse16_row(row, row_len, [&](int32_t c, int32_t v) {
+      int32_t cv[2] = {c, v};
+      for (int s = 0; s < 2; ++s) {
+        int64_t idx = static_cast<int64_t>(cv[s]) - lut_base;
+        if (idx < 0 || idx >= static_cast<int64_t>(lut_size)) {
+          bad = true;
+          return false;
+        }
+        int len = lut_lens[idx];
+        if (len < 1 || len > 32) {
+          bad = true;
+          return false;
+        }
+        acc = (acc << len) | lut_codes[idx];
+        acc_bits += len;
+        nbits += len;
+        while (acc_bits >= 8) {
+          if (w >= out_cap) {
+            full = true;
+            return false;
+          }
+          out[w++] = static_cast<uint8_t>(acc >> (acc_bits - 8));
+          acc_bits -= 8;
+        }
+      }
+      return true;
+    });
+    if (bad || runs < 0) return kErrBadInput;
+    if (full) return kErrOutputFull;
+  }
+  if (acc_bits > 0) {
+    if (w >= out_cap) return kErrOutputFull;
+    out[w++] = static_cast<uint8_t>((acc << (8 - acc_bits)) & 0xFF);
+  }
+  *nbits_out = nbits;
+  return static_cast<int64_t>(w);
+}
+
+// Decode straight into the sparse-delta layout (the h2d-ready device
+// decode input).  block_size == row_len for sparse16 (runs always cover
+// the block); runs may not span blocks.
+int64_t huff_unpack_sparse16(const uint8_t* packed, uint64_t nbits,
+                             const uint8_t* lengths, const int32_t* symbols,
+                             size_t num_symbols, int64_t block_size,
+                             int64_t num_blocks, size_t stride,
+                             size_t col_off, uint16_t* out_sparse,
+                             int32_t* out_lengths) {
+  if (num_symbols == 0) return nbits == 0 ? 0 : kErrBadInput;
+  uint32_t first_code[33] = {0};
+  int32_t first_index[33];
+  uint32_t count_len[33] = {0};
+  for (int l = 0; l <= 32; ++l) first_index[l] = -1;
+  for (size_t s = 0; s < num_symbols; ++s) {
+    int l = lengths[s];
+    if (l < 1 || l > 32) return kErrBadInput;
+    if (first_index[l] < 0) first_index[l] = static_cast<int32_t>(s);
+    ++count_len[l];
+  }
+  uint32_t code = 0;
+  int prev = 0;
+  for (int l = 1; l <= 32; ++l) {
+    if (!count_len[l]) continue;
+    code <<= (l - prev);
+    prev = l;
+    first_code[l] = code;
+    code += count_len[l];
+  }
+  int64_t pos = 0;  // global position over num_blocks * block_size
+  int32_t prev_value = 0;
+  int64_t n_sym = 0;
+  int32_t pending_count = 0;
+  bool have_count = false;
+  uint32_t acc = 0;
+  int acc_len = 0;
+  for (uint64_t i = 0; i < nbits; ++i) {
+    acc = (acc << 1) | ((packed[i >> 3] >> (7 - (i & 7))) & 1);
+    ++acc_len;
+    if (acc_len > 32) return kErrBadInput;
+    if (count_len[acc_len] &&
+        acc - first_code[acc_len] < count_len[acc_len]) {
+      int32_t sym =
+          symbols[first_index[acc_len] + (acc - first_code[acc_len])];
+      acc = 0;
+      acc_len = 0;
+      ++n_sym;
+      if (!have_count) {
+        if (sym <= 0 || sym > block_size) return kErrBadInput;
+        pending_count = sym;
+        have_count = true;
+        continue;
+      }
+      have_count = false;
+      if (sym < -512 || sym > 511) return kErrBadInput;
+      int64_t blk = pos / block_size;
+      int64_t slot = pos % block_size;
+      if (blk >= num_blocks) return kErrBadInput;
+      // runs may not cross block boundaries
+      if (slot + pending_count > block_size) return kErrBadInput;
+      if (slot == 0) prev_value = 0;
+      int32_t delta = sym - prev_value;
+      out_sparse[blk * stride + col_off + slot] =
+          static_cast<uint16_t>(delta + 1024);
+      prev_value = sym;
+      if (out_lengths) out_lengths[blk] += 2;
+      pos += pending_count;
+    }
+  }
+  if (acc_len != 0 || have_count) return kErrBadInput;
+  if (pos != num_blocks * block_size) return kErrBadInput;
+  return n_sym;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

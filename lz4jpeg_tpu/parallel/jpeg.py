@@ -12,7 +12,7 @@ output sharding — order is positional, a bug of this class cannot exist.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,7 @@ class ShardedJPEGForward:
         bpr: int,
         height: int,
         width: int,
+        layout: Optional[str] = None,
     ) -> np.ndarray:
         """Sharded inverse chain: RLE → IDCT per MCU shard, then merge.
 
@@ -83,25 +84,32 @@ class ShardedJPEGForward:
         from lz4jpeg_tpu.ops.rle import (
             rle_decode_batched,
             rle_decode_packed16,
+            rle_decode_sparse16,
         )
 
         dtype = self.config.dtype
         fused = self.config.precision == "fast"
         n_dev = self.mesh.devices.size
         n_mcus = bpc * bpr
-        # The dtype fully determines the pair layout (uint16 = packed,
-        # models/jpeg.py pack16).
-        rle_decode = (
-            rle_decode_packed16
-            if np.asarray(rle["lum"]).dtype == np.uint16
-            else rle_decode_batched
-        )
+        if layout is None:
+            # uint16 without an explicit layout means the legacy packed
+            # pair layout; sparse16 callers pass layout="sparse16".
+            layout = (
+                "packed16"
+                if np.asarray(rle["lum"]).dtype == np.uint16
+                else "pairs"
+            )
 
         def stage(rle_j, len_j):
             rec = {}
             for name in ("lum", "r", "b"):
                 h, w = _CHANNEL_SHAPES[name]
-                zz = rle_decode(rle_j[name], len_j[name], h * w)
+                if layout == "sparse16":
+                    zz = rle_decode_sparse16(rle_j[name])
+                elif layout == "packed16":
+                    zz = rle_decode_packed16(rle_j[name], len_j[name], h * w)
+                else:
+                    zz = rle_decode_batched(rle_j[name], len_j[name], h * w)
                 rec[name] = inverse_channel(
                     zz, name, self._tables, dtype, fused
                 )
@@ -109,8 +117,16 @@ class ShardedJPEGForward:
 
         padded_rle, padded_len = {}, {}
         for c in ("lum", "r", "b"):
-            padded_rle[c], _ = pad_to_devices(np.asarray(rle[c]), n_dev)
-            padded_len[c], _ = pad_to_devices(np.asarray(rle_lengths[c]), n_dev)
+            padded_rle[c], _ = pad_to_devices(
+                np.ascontiguousarray(rle[c]), n_dev
+            )
+            lens_c = (
+                np.asarray(rle_lengths[c])
+                if rle_lengths is not None
+                # sparse16 needs no lengths side channel
+                else np.zeros(np.asarray(rle[c]).shape[0], np.int32)
+            )
+            padded_len[c], _ = pad_to_devices(lens_c, n_dev)
         put = functools.partial(jax.device_put, device=self._shard)
         rec = jax.jit(
             stage,
@@ -207,30 +223,45 @@ def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
         import jax.numpy as jnp
 
         slim = jax.device_get(pipeline._forward_rle(jnp.asarray(band)))
-        packed16 = pipeline._pack16
-        for ci, c in enumerate(CHANNELS):
-            pairs = np.asarray(
-                slim[c][0], np.uint16 if packed16 else np.int32
-            )
-            lengths = np.asarray(slim[c][1], np.int32)
-            local[c] = (pairs, lengths)
-            if native is not None:
-                hist_fn = (
-                    native.rle_symbol_hist16
-                    if packed16
-                    else native.rle_symbol_hist
-                )
-                counts, _ = hist_fn(pairs, lengths, OFFSET, NBINS)
-            else:
-                from lz4jpeg_tpu.models.jpeg import _unpack16_host
+        if pipeline._sparse16:
+            # sparse-delta combined buffer (round 5): the native hist
+            # walk also yields the symbol totals the pack pass sizes by.
+            from lz4jpeg_tpu.models.jpeg import _sparse_symbols_host
 
-                ints = _unpack16_host(pairs) if packed16 else pairs
-                vals, cnt = np.unique(
-                    _valid_symbols(ints, lengths), return_counts=True
-                )
-                counts = np.zeros(NBINS, np.int64)
-                counts[vals + OFFSET] = cnt
-            hists[ci] = counts
+            comb = np.asarray(slim)
+            cols = {"lum": (0, 64), "r": (64, 32), "b": (96, 32)}
+            for ci, c in enumerate(CHANNELS):
+                col, row_len = cols[c]
+                if native is not None:
+                    counts, _, total = native.rle_symbol_hist_sparse16(
+                        comb, col, row_len, OFFSET, NBINS
+                    )
+                    local[c] = ("sparse_native", comb, col, row_len, total)
+                else:
+                    symbols, _ = _sparse_symbols_host(
+                        comb[:, col : col + row_len]
+                    )
+                    vals, cnt = np.unique(symbols, return_counts=True)
+                    counts = np.zeros(NBINS, np.int64)
+                    counts[vals + OFFSET] = cnt
+                    local[c] = ("sparse_py", symbols, None, None, None)
+                hists[ci] = counts
+        else:
+            for ci, c in enumerate(CHANNELS):
+                pairs = np.asarray(slim[c][0], np.int32)
+                lengths = np.asarray(slim[c][1], np.int32)
+                local[c] = ("pairs", pairs, lengths, None, None)
+                if native is not None:
+                    counts, _ = native.rle_symbol_hist(
+                        pairs, lengths, OFFSET, NBINS
+                    )
+                else:
+                    vals, cnt = np.unique(
+                        _valid_symbols(pairs, lengths), return_counts=True
+                    )
+                    counts = np.zeros(NBINS, np.int64)
+                    counts[vals + OFFSET] = cnt
+                hists[ci] = counts
 
     global_hists = hists
     if nproc > 1:
@@ -243,22 +274,18 @@ def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
             bins.astype(np.int64) - OFFSET, global_hists[ci][bins]
         )
         if c in local:
-            pairs, lengths = local[c]
-            if native is not None:
-                pack_fn = (
-                    native.huff_pack_pairs16
-                    if pipeline._pack16
-                    else native.huff_pack_pairs
+            kind, a, b_, row_len, total = local[c]
+            if kind == "sparse_native":
+                packed, nbits = native.huff_pack_sparse16(
+                    a, b_, row_len, codebook, total
                 )
-                packed, nbits = pack_fn(pairs, lengths, codebook)
+            elif kind == "sparse_py":
+                packed, nbits = pack_symbols(a, codebook)
+            elif native is not None:
+                packed, nbits = native.huff_pack_pairs(a, b_, codebook)
             else:
-                from lz4jpeg_tpu.models.jpeg import _unpack16_host
-
-                ints = (
-                    _unpack16_host(pairs) if pipeline._pack16 else pairs
-                )
                 packed, nbits = pack_symbols(
-                    _valid_symbols(ints, lengths), codebook
+                    _valid_symbols(a, b_), codebook
                 )
         else:
             packed, nbits = b"", 0
@@ -328,15 +355,40 @@ def multihost_jpeg_decode(
         r0, r1 = int(my_rows[0]), int(my_rows[-1])
         band_h = min((r1 + 1) * 8, enc.height) - r0 * 8
         sl = slice(r0 * bpr, (r1 + 1) * bpr)
-        band = pipeline._inverse(
-            {c: jnp.asarray(np.asarray(rle[c])[sl]) for c in CHANNELS},
-            {c: jnp.asarray(np.asarray(lengths[c])[sl]) for c in CHANNELS},
-            bpc=r1 - r0 + 1,
-            bpr=bpr,
-            height=band_h,
-            width=enc.width,
-            packed16=enc.rle_packed16,
-        )
+        layout = pipeline._layout_of(enc)
+        if layout == "sparse16" and enc.rle_combined is not None:
+            # Band rows of the combined buffer are contiguous — ship the
+            # slice and let the device split channels (models/jpeg.py
+            # ``_inverse_sparse``).
+            band = pipeline._inverse_sparse(
+                jnp.asarray(enc.rle_combined[sl]),
+                bpc=r1 - r0 + 1,
+                bpr=bpr,
+                height=band_h,
+                width=enc.width,
+            )
+        else:
+            band = pipeline._inverse(
+                {
+                    c: jnp.asarray(
+                        np.ascontiguousarray(np.asarray(rle[c])[sl])
+                    )
+                    for c in CHANNELS
+                },
+                {
+                    c: jnp.asarray(np.asarray(lengths[c])[sl])
+                    if lengths is not None
+                    else jnp.zeros(
+                        np.asarray(rle[c])[sl].shape[0], jnp.int32
+                    )
+                    for c in CHANNELS
+                },
+                bpc=r1 - r0 + 1,
+                bpr=bpr,
+                height=band_h,
+                width=enc.width,
+                layout=layout,
+            )
         payload = np.asarray(jax.device_get(band)).tobytes()
     bands = ordered_allgather_payloads(
         [payload] if len(my_rows) else [],

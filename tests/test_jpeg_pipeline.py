@@ -72,23 +72,25 @@ class TestRoundTrip:
 
 
 class TestPack16:
-    """Packed-u16 RLE transfer layout (ops/rle.py pack16): one uint16 per
-    [count, value] pair, halving the dominant tunnel transfers.  Active for
-    fast+shared pipelines whose quant tables bound |value| ≤ 511."""
+    """u16 RLE transfer layouts: round 5 made the sparse-delta layout
+    (ops/rle.py sparse16) the production interchange for fast+shared
+    pipelines whose quant tables bound |value| ≤ 511; the packed-pair
+    layout stays as the tested spec + container fallback."""
 
-    def test_fast_pipeline_uses_packed_layout(self, rng):
+    def test_fast_pipeline_uses_sparse_layout(self, rng):
         pipe = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
-        assert pipe._pack16
+        assert pipe._pack16 and pipe._sparse16
         enc = pipe.encode(noise(rng, 16, 16))
         for c in ("lum", "r", "b"):
             assert enc.rle[c].dtype == np.uint16
-        assert enc.rle_packed16
+        assert enc.rle_sparse16 and not enc.rle_packed16
+        assert enc.rle_combined is not None
 
     def test_packed_matches_int_pipeline_end_to_end(self, rng):
         img = noise(rng, 24, 40)
         fast = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
         plain = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
-        plain._pack16 = False
+        plain._pack16 = plain._sparse16 = plain._megakernel = False
         enc_p = fast.encode(img)
         enc_i = plain.encode(img)
         # identical entropy bitstreams from either layout

@@ -157,8 +157,17 @@ class TestShardedInverse:
         rec = sharded.inverse(
             enc.rle, enc.rle_lengths,
             enc.blocks_per_col, enc.blocks_per_row, enc.height, enc.width,
+            layout="sparse16" if enc.rle_sparse16 else None,
         )
-        np.testing.assert_array_equal(rec, single)
+        if enc.rle_sparse16:
+            # single-device sparse16 uses the folded suffix-basis einsum,
+            # the sharded stage the staged tile path: same fast-path
+            # contract, ±1 at the round-half boundary on ~1e-4 of pixels
+            # (ops/fused.py::fused_inverse_plane_sparse_jnp docstring).
+            diff = np.abs(rec.astype(np.int32) - single.astype(np.int32))
+            assert diff.max() <= 1 and (diff != 0).mean() < 2e-3
+        else:
+            np.testing.assert_array_equal(rec, single)
 
 
 class TestShardedFastLZ4:

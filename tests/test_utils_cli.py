@@ -106,21 +106,26 @@ class TestJPEGContainer:
         dec = unpack_container(blob)
         assert (dec.height, dec.width) == (16, 16)
         for c in ("lum", "r", "b"):
-            # The container may restore the packed-u16 transfer layout;
-            # compare in the canonical int32 pair layout.
-            from lz4jpeg_tpu.models.jpeg import _unpack16_host
-
-            def canon(pairs, packed16, lens):
-                ints = _unpack16_host(pairs) if packed16 else pairs
-                # Zero padding slots: the layouts pad differently
-                # (unpack16 yields count=1/value=-512 pads).
-                mask = np.arange(ints.shape[1])[None, :] < lens[:, None]
-                return np.where(mask, ints, 0)
-
-            np.testing.assert_array_equal(
-                canon(dec.rle[c], dec.rle_packed16, dec.rle_lengths[c]),
-                canon(enc.rle[c], enc.rle_packed16, enc.rle_lengths[c]),
+            # The container may restore a different transfer layout
+            # (sparse16 with native, packed16/pairs fallbacks); compare
+            # through the decoded zigzag VALUES — the canonical content.
+            from lz4jpeg_tpu.ops.rle import (
+                rle_decode_batched,
+                rle_decode_packed16,
+                rle_decode_sparse16,
             )
+
+            def canon(e, c=c):
+                arr = np.asarray(e.rle[c])
+                if e.rle_sparse16:
+                    return np.asarray(rle_decode_sparse16(arr))
+                k = arr.shape[1] if e.rle_packed16 else arr.shape[1] // 2
+                fn = (
+                    rle_decode_packed16 if e.rle_packed16 else rle_decode_batched
+                )
+                return np.asarray(fn(arr, np.asarray(e.rle_lengths[c]), k))
+
+            np.testing.assert_array_equal(canon(dec), canon(enc))
             np.testing.assert_array_equal(dec.rle_lengths[c], enc.rle_lengths[c])
         np.testing.assert_array_equal(
             pipeline.decode(dec), pipeline.decode(enc)
