@@ -193,253 +193,130 @@ def run_jpeg_forward_roofline(
     chain: int = 8,
     output: Optional[str] = None,
 ) -> Dict:
-    """Stage-by-stage fenced timing + roofline for the batched forward."""
+    """Stage-by-stage fenced roofline of the ROUND-5 production forward:
+    Stage A (RGB → kt block-layout transpose, XLA) → megakernel (color +
+    DCT + sparse-delta RLE in one Pallas VMEM pass, ``ops/pallas_fwd``).
+    The retired XLA fallback chain (color → tile einsums → sparse
+    epilogue) is measured alongside as the committed formulation
+    comparison; the lax.sort formulation and both Pallas RLE butterflies
+    left the production path entirely (the sparse16 layout needs no
+    compaction), so there is no sort ceiling to report anymore.
+    """
     import jax
     import jax.numpy as jnp
 
     from lz4jpeg_tpu.config import JPEGConfig
-    from lz4jpeg_tpu.models.jpeg import CHANNELS, JPEGPipeline, forward_channel
-    from lz4jpeg_tpu.ops.rle import rle_encode_batched
+    from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+    from lz4jpeg_tpu.ops.pallas_fwd import forward_megakernel, rgb_to_kt
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
     pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    assert pipeline._sparse16, "forward roofline measures the sparse16 path"
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
         np.stack([generate_noise_image(size, size, rng) for _ in range(batch)])
     )
     npix = batch * size * size  # pixels per chain iteration
-    # The production pack16 path on TPU uses the plane-view einsum + the
-    # sublane-butterfly Pallas kernel for width-1024-multiple images (no
-    # 8×8 tile relayout at all); measure the stages of whichever path the
-    # pipeline actually takes.
-    plane_path = (
-        getattr(pipeline, "_pallas_rle", False)
-        and size % 8 == 0
-        and size % 1024 == 0
-    )
+    lum_t, chr_t = pipeline._tables["lum"], pipeline._tables["r"]
 
     stages: Dict[str, Dict] = {}
 
-    if plane_path:
-        from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES
-        from lz4jpeg_tpu.ops.color import chroma_subsample_422, rgb_to_ycbcr
-        from lz4jpeg_tpu.ops.fused import fused_forward_plane_jnp
-        from lz4jpeg_tpu.ops.pallas_rle import rle_encode_packed16_pallas_kt
+    # -- stage A: RGB → (3, 64, N) kt block layout (pure XLA transpose) --
+    def stage_a_body(x, c, s):
+        kt = rgb_to_kt(x + c.astype(jnp.uint8))
+        # Full fence: partial checksums slice through transposes.
+        s = s + jnp.sum(kt.astype(jnp.float32))
+        # Sum-derived carry: extracting a single element mid-loop
+        # forces a pathological layout (+14 ms measured A/B); the sum
+        # depends on every output, so serialization is identical.
+        return (s.astype(jnp.int32) % 2).astype(jnp.int16), s
 
-        def planes_fn(x):
-            def one(img):
-                y, cr, cb = rgb_to_ycbcr(img, jnp.float32)
-                return y, chroma_subsample_422(cr), chroma_subsample_422(cb)
-
-            return jax.vmap(one)(x)
-
-        planes = jax.jit(planes_fn)(imgs)
-
-        def plane_matmuls(ps, c):
-            out = []
-            for name, p in zip(CHANNELS, ps):
-                p = (p + c.astype(p.dtype)) if c is not None else p
-                tw = _CHANNEL_SHAPES[name][1]
-                zz_kt = jax.vmap(
-                    lambda pp, n=name, w=tw: fused_forward_plane_jnp(
-                        pp, pipeline._tables[n], w
-                    )
-                )(p)
-                out.append(zz_kt.astype(jnp.int16))
-            return out
-
-        zz = jax.jit(lambda ps: plane_matmuls(ps, None))(planes)
-
-        # -- stage 1: color transform + 4:2:2 (planes only) --------------
-        def color_body(x, c, s):
-            y, r, b = planes_fn(x + c.astype(jnp.uint8))
-            s = s + sum(jnp.sum(t.astype(jnp.float32)) for t in (y, r, b))
-            return (y[0, 0, 0] % 2).astype(jnp.int16), s
-
-        print("timing color_planes ...", flush=True)
-        stages["color_split"] = {
-            "measured_s": _chain_bench(color_body, imgs, chain),
-            "flops": 10 * npix,
-            "bytes": 3 * npix + 2 * npix,  # RGB u8 in, Y + half chroma out
-        }
-
-        # -- stage 2: plane-view fused einsum (3 channels, i16 out) ------
-        def matmul_body(ps, c, s):
-            out = plane_matmuls(ps, c)
-            return (out[0][0, 0, 0, 0] % 2).astype(jnp.int16), s + sum(
-                jnp.sum(o.astype(jnp.float32)) for o in out
-            )
-
-        print("timing plane_matmul ...", flush=True)
-        stages["mcu_matmul"] = {
-            "measured_s": _chain_bench(matmul_body, planes, chain),
-            "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
-            "bytes": 2 * npix + 4 * npix,  # u8 planes in, i16 coeffs out
-        }
-
-        def rle_fn(z):
-            return rle_encode_packed16_pallas_kt(
-                z.reshape(-1, *z.shape[2:])
-            )
-    else:
-        split = jax.vmap(pipeline._split_impl)
-        tiles = jax.jit(split)(imgs)  # stage-2/3 inputs, resident in HBM
-        tiles = jax.tree_util.tree_map(
-            lambda t: t.reshape(-1, *t.shape[2:]), tiles
-        )
-
-        def matmuls(ts, c):
-            out = []
-            for name, t in zip(CHANNELS, ts):
-                t = (t + c.astype(t.dtype)) if c is not None else t
-                out.append(
-                    forward_channel(
-                        t, name, pipeline._tables, jnp.float32, True
-                    )
-                )
-            return out
-
-        zz = jax.jit(lambda ts: matmuls(ts, None))(tiles)
-
-        # -- stage 1: color transform + 4:2:2 + MCU split ----------------
-        def split_body(x, c, s):
-            lum, r, b = split(x + c.astype(jnp.uint8))
-            # Full-output fence: a few-element checksum is sliceable
-            # through the transposes (same DCE hazard as the RLE fence).
-            s = s + sum(
-                jnp.sum(t.astype(jnp.float32)) for t in (lum, r, b)
-            )
-            return (lum[0, 0, 0, 0] % 2).astype(jnp.int16), s
-
-        print("timing color_split ...", flush=True)
-        stages["color_split"] = {
-            "measured_s": _chain_bench(split_body, imgs, chain),
-            "flops": 10 * npix,          # 3-tap color matrix per pixel
-            "bytes": 3 * npix + 2 * npix,  # RGB u8 in, tiles u8 out
-        }
-
-        # -- stage 2: fused DCT+quant+zigzag matmul (3 channels) ---------
-        def matmul_body(ts, c, s):
-            out = matmuls(ts, c)
-            # Full-output fence: a column slice of a dot is itself a
-            # smaller dot, so a partial checksum would under-measure.
-            return (out[0][0, 0] % 2).astype(jnp.int16), s + sum(
-                jnp.sum(o) for o in out
-            )
-
-        print("timing mcu_matmul ...", flush=True)
-        stages["mcu_matmul"] = {
-            "measured_s": _chain_bench(matmul_body, tiles, chain),
-            "flops": 2 * npix * 64 + 2 * (2 * (npix // 2) * 32),
-            "bytes": 2 * npix + 8 * npix,  # u8 tiles in, f32 coeffs out
-        }
-
-        rle_fn = (
-            pipeline._rle_pack16_fn
-            if pipeline._pack16
-            else rle_encode_batched
-        )
-
-    # -- stage 3: RLE compaction (3 channels, production pack16 path) ----
-    # FENCE THE PAIRS, NOT JUST THE LENGTHS: lengths = 2·num_runs depend
-    # only on the boundary compares, so a lengths-only checksum lets XLA
-    # dead-code-eliminate the bitonic sort and the pack — the r1 artifact
-    # did exactly that and under-reported this stage ~3× (the fence A/B is
-    # committed in results/formulation_ab.json, profiles/profile_fence_dce
-    # .py).  Summing the packed output forces every element, and the
-    # compiled-HLO guard below makes the lesson a hard failure.
-    def rle_body(zs, c, s):
-        for z in zs:
-            z = (z.astype(jnp.int32) + c.astype(jnp.int32)).astype(
-                jnp.int16
-            )
-            p, l = rle_fn(z)
-            s = (
-                s
-                + jnp.sum(p.astype(jnp.float32))
-                + jnp.sum(l.astype(jnp.float32))
-            )
-            c = (l.reshape(-1)[0] % 3).astype(jnp.int16)
-        return c, s
-
-    print("timing rle ...", flush=True)
-    _assert_fence_forces_compaction(rle_body, zz, chain)
-    stages["rle"] = {
-        "measured_s": _chain_bench(rle_body, zz, chain),
-        "flops": 0,  # compare/select network — not MXU work
-        # zz in (i16 on the plane path, f32 staged otherwise), packed u16
-        # [count|value] out (int32 (N,2L) pairs on the non-pack16
-        # fallback); internal passes are excluded by the read-once/
-        # write-once convention.
-        "bytes": (4 * npix if plane_path else 8 * npix)
-        + (4 * npix if pipeline._pack16 else 16 * npix),
+    print("timing stage_a_kt ...", flush=True)
+    stages["stage_a_kt"] = {
+        "measured_s": _chain_bench(stage_a_body, imgs, chain),
+        "flops": 0,
+        "bytes": 3 * npix + 3 * npix,  # RGB u8 in, planar kt u8 out
     }
 
-    # -- bare-sort ceiling at the production shapes ----------------------
-    # The RLE stage is built on lax.sort (chroma) / the Pallas butterfly
-    # (luma); a bare 1-operand sort at the same shapes is the platform's
-    # achievable ceiling for the sort formulation — report the stage
-    # against it, not only against HBM bytes (VERDICT r2 item 1;
-    # profiles/profile_sort_ceiling.py is the standalone sweep).
-    lum_rows = npix // 64
-    sort_times = {}
-    for tag, rows, length in (
-        ("lum", lum_rows, 64), ("chroma", lum_rows, 32),
-    ):
-        xs = jnp.asarray(
-            np.random.default_rng(1).integers(
-                -511, 512, size=(rows, length)
-            ).astype(np.int32)
-        )
+    kt0 = jax.jit(rgb_to_kt)(imgs)
+    jax.block_until_ready(kt0)
 
-        def sort_body(v, c, s):
-            (out,) = jax.lax.sort(
-                (v ^ c.astype(jnp.int32),), dimension=1, num_keys=1
-            )
-            s = s + jnp.sum(out.astype(jnp.float32))
-            return (s % 2).astype(jnp.int16), s
+    # -- megakernel: kt u8 → (N, 128) u16 combined sparse streams --------
+    def mega_body(kt, c, s):
+        out = forward_megakernel(kt + c.astype(jnp.uint8), lum_t, chr_t)
+        s = s + jnp.sum(out.astype(jnp.float32))
+        return (s.astype(jnp.int32) % 2).astype(jnp.int16), s
 
-        print(f"timing bare sort {tag} ...", flush=True)
-        sort_times[tag] = _chain_bench(sort_body, xs, chain)
-    sort_ceiling_s = sort_times["lum"] + 2 * sort_times["chroma"]
-    stages["sort_ceiling"] = {
-        "measured_s": sort_ceiling_s,
-        "flops": 0,
-        "bytes": 8 * npix + 4 * npix,  # same I/O convention as the stage
+    print("timing megakernel ...", flush=True)
+    stages["megakernel"] = {
+        "measured_s": _chain_bench(mega_body, kt0, chain),
+        # Color (10/px) + the two basis matmuls: luma npix coeffs and
+        # chroma npix coeffs (2 half-width channels), BOTH contracting 64
+        # (the 4:2:2 fold widens the chroma basis to (32, 64)).
+        "flops": 10 * npix + 2 * 64 * npix + 2 * 64 * npix,
+        "bytes": 3 * npix + 4 * npix,  # kt u8 in, combined u16 out
         "note": (
-            "bare 1-op lax.sort at the production shapes (lum "
-            f"{lum_rows}x64 + 2 chroma {lum_rows}x32) — the sort-"
-            "formulation ceiling the RLE stage is judged against"
+            "Pallas VMEM copies cap at ~155 GB/s on this chip vs ~300 "
+            "for XLA streams (profiles/probe_pallas_copy_ceiling.py) — "
+            "the honest kernel-side stream ceiling is ~half the mSoL "
+            "denominator"
         ),
     }
 
-    # -- whole forward chain (what bench.py times) ------------------------
+    # -- whole production chain (what bench.py times) ---------------------
     fwd = jax.vmap(pipeline._forward_rle_impl)
 
     def full_body(x, c, s):
         out = fwd(x + c.astype(jnp.uint8))
-        lengths0 = out["lum"][1]
-        # Same full fence as bench.py: pairs + lengths.
-        return (lengths0[0, 0] % 3).astype(jnp.int16), s + sum(
-            jnp.sum(v[0].astype(jnp.float32))
-            + jnp.sum(v[1].astype(jnp.float32))
-            for v in out.values()
-        )
+        s = s + jnp.sum(out.astype(jnp.float32))
+        return (s.astype(jnp.int32) % 2).astype(jnp.int16), s
 
     print("timing full_forward ...", flush=True)
     stages["full_forward"] = {
         "measured_s": _chain_bench(full_body, imgs, chain),
-        "flops": sum(stages[k]["flops"] for k in ("color_split", "mcu_matmul", "rle")),
-        "bytes": sum(stages[k]["bytes"] for k in ("color_split", "mcu_matmul", "rle")),
+        "flops": sum(stages[k]["flops"] for k in ("stage_a_kt", "megakernel")),
+        # RGB u8 in, combined u16 out; the kt intermediate between the
+        # stages is real HBM traffic and is charged to the stage table,
+        # not the chain's algorithmic I/O.
+        "bytes": 3 * npix + 4 * npix,
     }
 
-    # -- device→host readback of the slim encode output -------------------
+    # Anti-DCE guard (round-2 lesson, round-5 shape): on TPU the compiled
+    # production chain must contain the megakernel custom-call; a fence
+    # that stopped forcing it would report hollow numbers.
+    f = _make_chained(full_body, chain)
+    hlo = f.lower(imgs, jnp.int16(0)).compile().as_text()
+    if jax.default_backend() == "tpu" and hlo.count("custom-call") == 0:
+        raise RuntimeError(
+            "DCE guard: compiled forward chain contains no megakernel "
+            "custom-call — the fence collapsed; numbers would be hollow."
+        )
+
+    # -- retired XLA fallback chain (formulation comparison) --------------
+    alt = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    alt._megakernel = False
+    alt_fwd = jax.vmap(alt._forward_rle_impl)
+
+    def alt_body(x, c, s):
+        out = alt_fwd(x + c.astype(jnp.uint8))
+        s = s + jnp.sum(out.astype(jnp.float32))
+        return (s.astype(jnp.int32) % 2).astype(jnp.int16), s
+
+    print("timing xla_fallback_chain ...", flush=True)
+    stages["xla_fallback_chain"] = {
+        "measured_s": _chain_bench(alt_body, imgs, chain),
+        "flops": stages["full_forward"]["flops"],
+        "bytes": stages["full_forward"]["bytes"],
+        "note": (
+            "color → tile einsums → sparse epilogue, all XLA — the "
+            "bit-identical fallback the megakernel replaced on TPU"
+        ),
+    }
+
+    # -- device→host readback of the combined sparse buffer ---------------
     slim = jax.jit(fwd)(imgs)
     jax.block_until_ready(slim)
-    d2h_bytes = sum(
-        int(np.prod(v[0].shape)) * 2 + int(np.prod(v[1].shape)) * 4
-        for v in slim.values()
-    )
+    d2h_bytes = int(np.prod(slim.shape)) * 2
     t0 = time.perf_counter()
     jax.device_get(slim)
     d2h_s = time.perf_counter() - t0
@@ -450,10 +327,17 @@ def run_jpeg_forward_roofline(
         "note": "tunnel d2h, RTT-inclusive; not part of the device chain",
     }
 
+    # -- fence floor: the xor-perturb + checksum traffic every stage body
+    # pays per iteration (the inverse roofline's round-4 convention).
+    def floor_body(x, c, s):
+        (xp,) = jax.lax.optimization_barrier((x + c.astype(jnp.uint8),))
+        s = s + jnp.sum(xp.astype(jnp.float32))
+        return (s.astype(jnp.int32) % 2).astype(jnp.int16), s
+
+    print("timing fence_floor ...", flush=True)
+    floor_s = _chain_bench(floor_body, imgs, chain)
+
     # -- measured HBM-stream ceiling (the platform's real bandwidth) ------
-    # A bare fenced streaming loop at the production footprint — the
-    # denominator every memory-bound stage should honestly be judged
-    # against, alongside the paper 819 GB/s (VERDICT r3 missing-item 1).
     print("timing hbm_stream ceiling ...", flush=True)
     hbm_probe = measure_hbm_stream_ceiling(
         footprint_bytes=min(512 << 20, 4 * npix), chain=16
@@ -475,8 +359,6 @@ def run_jpeg_forward_roofline(
         )
         st["speed_of_light_s"] = sol
         st["sol_fraction"] = sol / t
-        # Same arithmetic against the MEASURED stream ceiling: what the
-        # platform demonstrably sustains on a bare fenced copy loop.
         sol_m = max(
             st["bytes"] / (hbm_measured_gbs * 1e9),
             st["flops"] / (MXU_PEAK_TFLOPS * 1e12),
@@ -489,7 +371,7 @@ def run_jpeg_forward_roofline(
             else "compute"
         )
 
-    device_stages = ("color_split", "mcu_matmul", "rle")
+    device_stages = ("stage_a_kt", "megakernel")
     stage_sum = sum(stages[k]["measured_s"] for k in device_stages)
     limiter = max(device_stages, key=lambda k: stages[k]["measured_s"])
     result = {
@@ -497,6 +379,7 @@ def run_jpeg_forward_roofline(
         "batch": batch,
         "chain": chain,
         "backend": jax.default_backend(),
+        "formulation": "sparse16_megakernel",
         "peaks": {
             "hbm_gbs": HBM_PEAK_GBS,
             "hbm_gbs_measured": hbm_measured_gbs,
@@ -504,20 +387,28 @@ def run_jpeg_forward_roofline(
         },
         "hbm_stream_ceiling": hbm_probe,
         "mpix_per_iter": npix / 1e6,
+        "fence_floor": {
+            "measured_s": floor_s,
+            "note": (
+                "per-iteration input xor-perturb + checksum (barriered); "
+                "embedded in every stage's measured_s — subtract for "
+                "kernel-marginal comparisons (bench.py's headline has no "
+                "perturb, which is most of its gap to full_forward here)"
+            ),
+        },
         "fencing_note": (
-            "every stage fence reduces the stage's FULL output (pairs, not "
-            "just lengths) — a partial fence lets XLA dead-code-eliminate "
-            "the RLE sort+pack and inflate the numbers ~2x; see "
-            "profiles/profile_fence_dce.py and formulation_ab.json"
+            "every stage fence reduces the stage's FULL output — a "
+            "partial fence lets XLA dead-code-eliminate whole kernels "
+            "and inflate the numbers (profiles/profile_fence_dce.py); "
+            "the compiled production chain is asserted to contain the "
+            "megakernel custom-call"
         ),
         "stages": stages,
         "stage_sum_s": stage_sum,
         "fusion_gap_s": stages["full_forward"]["measured_s"] - stage_sum,
         "limiting_stage": limiter,
-        # How close the RLE stage runs to a bare sort at its own shapes —
-        # ≥1.0 means the production path beats the sort formulation's
-        # ceiling outright (the Pallas butterfly does on luma).
-        "rle_vs_sort_ceiling": sort_ceiling_s / stages["rle"]["measured_s"],
+        "vs_xla_fallback": stages["xla_fallback_chain"]["measured_s"]
+        / stages["full_forward"]["measured_s"],
         "full_forward_mpix_s": npix / 1e6 / stages["full_forward"]["measured_s"],
     }
 
@@ -525,9 +416,10 @@ def run_jpeg_forward_roofline(
           f"({npix/1e6:.0f} MPix/iter) on {result['backend']}")
     print(f"measured HBM stream ceiling: {hbm_measured_gbs:.0f} GB/s "
           f"(paper {HBM_PEAK_GBS:.0f})")
-    print(f"{'stage':14s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
+    print(f"{'stage':18s} {'ms':>8s} {'GB/s':>7s} {'TFLOP/s':>8s} "
           f"{'SoL ms':>7s} {'SoL%':>6s} {'mSoL%':>6s}  bound")
-    for name in (*device_stages, "sort_ceiling", "full_forward", "readback_d2h"):
+    for name in (*device_stages, "full_forward", "xla_fallback_chain",
+                 "readback_d2h"):
         st = stages[name]
         sol_ms = f"{st['speed_of_light_s']*1e3:7.2f}" if st["speed_of_light_s"] else "      -"
         sol_pc = f"{st['sol_fraction']*100:5.1f}%" if st["sol_fraction"] else "     -"
@@ -537,14 +429,14 @@ def run_jpeg_forward_roofline(
             else "     -"
         )
         print(
-            f"{name:14s} {st['measured_s']*1e3:8.2f} {st['achieved_gbs']:7.1f} "
+            f"{name:18s} {st['measured_s']*1e3:8.2f} {st['achieved_gbs']:7.1f} "
             f"{st['achieved_tflops']:8.2f} {sol_ms} {sol_pc} {msol_pc}  "
             f"{st.get('bound','-')}"
         )
     print(f"limiting stage: {limiter}; "
           f"fusion gap {result['fusion_gap_s']*1e3:+.2f} ms; "
-          f"rle at {result['rle_vs_sort_ceiling']*100:.0f}% of bare-sort "
-          f"ceiling; forward {result['full_forward_mpix_s']:.0f} MPix/s")
+          f"{result['vs_xla_fallback']:.2f}x the XLA fallback; "
+          f"forward {result['full_forward_mpix_s']:.0f} MPix/s")
 
     if output:
         with open(output, "w") as f:
@@ -559,17 +451,16 @@ def run_jpeg_inverse_roofline(
     chain: int = 8,
     output: Optional[str] = None,
 ) -> Dict:
-    """Per-stage fenced roofline of the device decode chain (VERDICT r3
-    item 3): RLE expansion butterfly → fused IDCT matmul → YCbCr merge,
-    the same instrumentation the forward got in rounds 1-3.
+    """Per-stage fenced roofline of the ROUND-5 device decode chain:
+    combined sparse buffer → per-channel delta extraction + kt transpose
+    → FOLDED suffix-basis einsum (the RLE expansion rides the same MXU
+    pass, ``ops/fused.py::inverse_suffix_basis``) → plane YCbCr merge.
+    The round-4 limiting stage (the expansion butterfly, 19.9 ms
+    marginal) no longer exists as a stage at all.
 
-    Every stage is data-oblivious (the expansion butterfly's routing
-    network, the IDCT matmul, and the elementwise color merge all do
-    identical work regardless of content), so the chain carry perturbs
-    inputs by XOR-ing the packed value field's LSB — iterations cannot be
-    CSE'd/hoisted, and the perturbed streams stay shape-valid.
-    Stage byte counts follow the forward convention: inputs read once +
-    outputs written once at the declared stage interfaces.
+    Every stage is data-oblivious, so the chain carry XOR-perturbs the
+    combined words — iterations cannot be CSE'd and the streams stay
+    shape-valid.  Byte counts follow the read-once/write-once convention.
     """
     import jax
     import jax.numpy as jnp
@@ -577,250 +468,145 @@ def run_jpeg_inverse_roofline(
     from lz4jpeg_tpu.config import JPEGConfig
     from lz4jpeg_tpu.models.jpeg import (
         CHANNELS,
+        _CHANNEL_SHAPES,
         JPEGPipeline,
-        inverse_channel,
     )
-    from lz4jpeg_tpu.ops.color import ycbcr_to_rgb_mcus
+    from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
+    from lz4jpeg_tpu.ops.fused import fused_inverse_plane_sparse_jnp
+    from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
+    from lz4jpeg_tpu.ops.rle import SPARSE16_DELTA_BIAS
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
     pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
-    assert pipeline._pack16, "inverse roofline expects the pack16 layout"
+    assert pipeline._sparse16, "inverse roofline measures the sparse16 path"
     rng = np.random.default_rng(0)
     img = generate_noise_image(size, size, rng)
     slim = jax.block_until_ready(pipeline._forward_rle(jnp.asarray(img)))
-    # One batch axis worth of real encoded streams (tiled — the decode is
-    # content-oblivious, so tiling does not change the work).
-    rle = {c: jnp.tile(slim[c][0], (batch, 1)) for c in CHANNELS}
-    lens = {c: jnp.tile(slim[c][1], (batch,)) for c in CHANNELS}
+    # One batch axis of real encoded streams (tiled — decode work is
+    # content-oblivious, so tiling does not change it).
+    comb = jnp.tile(slim[None], (batch, 1, 1))  # (B, N, 128) u16
     bpc = bpr = size // 8
     npix = batch * size * size
+    slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
 
     stages: Dict[str, Dict] = {}
 
-    # Measure the stages of whichever path production takes: the plane
-    # chain (KT decode butterfly → plane einsum → plane color) when its
-    # gate holds, the tile chain otherwise — same stage names either way.
-    plane_path = (
-        getattr(pipeline, "_pallas_rle", False) and (size // 8) % 128 == 0
-    )
-
-    def decode_all(rle_d, lens_d):
-        return {
-            c: pipeline._rle_decode_fn(
-                rle_d[c], lens_d[c], rle_d[c].shape[-1], True
+    def unbias_all(cb):
+        out = {}
+        for name in CHANNELS:
+            tw = _CHANNEL_SHAPES[name][1]
+            k = 8 * tw
+            w16 = cb[..., slices[name]].astype(jnp.int32)
+            d = jnp.where(w16 != 0, w16 - SPARSE16_DELTA_BIAS, 0)
+            out[name] = jnp.transpose(
+                d.reshape(batch, bpc, bpr, k), (0, 1, 3, 2)
             )
-            for c in CHANNELS
-        }
+        return out
 
-    if plane_path:
-        from lz4jpeg_tpu.models.jpeg import _CHANNEL_SHAPES
-        from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
-        from lz4jpeg_tpu.ops.fused import fused_inverse_plane_jnp
-        from lz4jpeg_tpu.ops.pallas_rle import (
-            rle_decode_packed16_pallas_plane,
-        )
+    # -- stage 1: channel slice + delta un-bias + kt transpose ------------
+    def unbias_body(cb, c, s):
+        d = unbias_all(cb ^ c.astype(jnp.uint16))
+        s = s + sum(jnp.sum(v.astype(jnp.float32)) for v in d.values())
+        return (s % 2).astype(jnp.uint16), s
 
-        bw = size // 8
-
-        def decode_all_plane(rle_d):
-            def one(pairs):
-                return rle_decode_packed16_pallas_plane(pairs, bw)
-
-            return {c: jax.vmap(one)(
-                rle_d[c].reshape(batch, -1, rle_d[c].shape[-1])
-            ) for c in CHANNELS}
-
-        def expand_body(data, c, s):
-            r, _ln = data
-            r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
-            zz = decode_all_plane(r)
-            s = s + sum(
-                jnp.sum(z.astype(jnp.float32)) for z in zz.values()
-            )
-            return (s % 2).astype(jnp.uint16), s
-
-        zz0 = jax.jit(decode_all_plane)(rle)
-
-        def plane_channels(zz, c):
-            out = {}
-            for name in CHANNELS:
-                tw = _CHANNEL_SHAPES[name][1]
-                z = zz[name] + c.astype(jnp.int16)
-                out[name] = jax.vmap(
-                    lambda zk, n=name, w=tw: fused_inverse_plane_jnp(
-                        zk, pipeline._tables[n], w, jnp.float32,
-                        # Production folds the 4:2:2 upsample into the
-                        # chroma basis (models/jpeg.py) — mirror it.
-                        upsample_cols=(n != "lum"),
-                    )
-                )(z)
-            return out
-
-        def idct_body(zz, c, s):
-            out = plane_channels(zz, c)
-            s = s + sum(
-                jnp.sum(o.astype(jnp.float32)) for o in out.values()
-            )
-            return (s % 2).astype(jnp.uint16), s
-
-        planes0 = jax.jit(
-            lambda zz: plane_channels(zz, jnp.int16(0))
-        )(zz0)
-
-        def merge_body(planes, c, s):
-            rgb = jax.vmap(
-                lambda y, r, b: ycbcr_planes_to_rgb(
-                    y, r, b, size, size, jnp.float32,
-                    chroma_upsampled=True,
-                )
-            )(
-                planes["lum"] + c.astype(jnp.uint8),
-                planes["r"],
-                planes["b"],
-            )
-            s = s + jnp.sum(rgb.astype(jnp.float32))
-            return (s % 2).astype(jnp.uint16), s
-
-        mid0 = planes0
-    else:
-        def expand_body(data, c, s):
-            r, ln = data
-            r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
-            zz = decode_all(r, ln)
-            s = s + sum(jnp.sum(z.astype(jnp.float32)) for z in zz.values())
-            return (s % 2).astype(jnp.uint16), s
-
-        zz0 = jax.jit(decode_all)(rle, lens)
-
-        def idct_body(zz, c, s):
-            out = {}
-            for name in CHANNELS:
-                z = zz[name] + c.astype(jnp.int32)
-                out[name] = inverse_channel(
-                    z, name, pipeline._tables, jnp.float32, True
-                )
-            s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in out.values())
-            return (s % 2).astype(jnp.uint16), s
-
-        tiles0 = jax.jit(
-            lambda zz: {
-                name: inverse_channel(
-                    zz[name], name, pipeline._tables, jnp.float32, True
-                )
-                for name in CHANNELS
-            }
-        )(zz0)
-
-        def merge_body(tiles, c, s):
-            def one(lum, r, b):
-                return ycbcr_to_rgb_mcus(
-                    lum, r, b, bpc, bpr, size, size, jnp.float32
-                )
-
-            rgb = jax.vmap(one)(
-                (tiles["lum"] + c.astype(jnp.uint8)).reshape(
-                    batch, -1, 8, 8
-                ),
-                tiles["r"].reshape(batch, -1, 8, 4),
-                tiles["b"].reshape(batch, -1, 8, 4),
-            )
-            # Full-RGB fence: a single channel would DCE the Cb chain.
-            s = s + jnp.sum(rgb.astype(jnp.float32))
-            return (s % 2).astype(jnp.uint16), s
-
-        mid0 = tiles0
-
-    # -- stage 1: RLE expansion (packed u16 pairs → zigzag coefficients) --
-    print("timing rle_expand ...", flush=True)
-    stages["rle_expand"] = {
-        "measured_s": _chain_bench_u16(expand_body, (rle, lens), chain),
+    print("timing unbias_kt ...", flush=True)
+    stages["unbias_kt"] = {
+        "measured_s": _chain_bench_u16(unbias_body, comb, chain),
         "flops": 0,
-        # 2·npix u16 pair words in (luma npix + chroma npix/2 ×2),
-        # 2·npix i16/i32 coefficients out.
-        "bytes": 4 * npix + (4 if plane_path else 8) * npix,
+        "bytes": 4 * npix + 8 * npix,  # u16 combined in, i32 kt deltas out
     }
 
-    # -- stage 2: fused inverse matmul (zz → u8 pixels) -------------------
-    print("timing inverse_matmul ...", flush=True)
-    stages["inverse_matmul"] = {
-        "measured_s": _chain_bench_u16(idct_body, zz0, chain),
-        "flops": 2 * npix * 64 + 2 * npix * 32,
-        "bytes": (4 if plane_path else 8) * npix + 2 * npix,
+    d0 = jax.jit(unbias_all)(comb)
+
+    # -- stage 2: folded suffix-basis einsum (deltas → u8 planes) ---------
+    def planes_all(d):
+        out = {}
+        for name in CHANNELS:
+            tw = _CHANNEL_SHAPES[name][1]
+            out[name] = jax.vmap(
+                lambda dk, n=name, w=tw: fused_inverse_plane_sparse_jnp(
+                    dk, pipeline._tables[n], w, jnp.float32,
+                    upsample_cols=(n != "lum"),
+                )
+            )(d[name])
+        return out
+
+    def einsum_body(d, c, s):
+        out = planes_all({k: v + c.astype(jnp.int32) for k, v in d.items()})
+        s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in out.values())
+        return (s % 2).astype(jnp.uint16), s
+
+    print("timing folded_einsum ...", flush=True)
+    stages["folded_einsum"] = {
+        "measured_s": _chain_bench_u16(einsum_body, d0, chain),
+        # luma: npix outputs × 64-contraction; chroma: 2 channels × npix
+        # full-width outputs (upsample folded) × 32-contraction.
+        "flops": 2 * 64 * npix + 2 * 32 * 2 * npix,
+        "bytes": 8 * npix + 3 * npix,  # i32 deltas in, u8 planes out
     }
 
-    # -- stage 3: YCbCr merge (u8 pixels → RGB image) ---------------------
+    planes0 = jax.jit(planes_all)(d0)
+
+    # -- stage 3: plane YCbCr merge (u8 planes → RGB) ---------------------
+    def merge_body(planes, c, s):
+        rgb = jax.vmap(
+            lambda y, r, b: ycbcr_planes_to_rgb(
+                y, r, b, size, size, jnp.float32, chroma_upsampled=True
+            )
+        )(
+            planes["lum"] + c.astype(jnp.uint8),
+            planes["r"],
+            planes["b"],
+        )
+        # Full-RGB fence: a single channel would DCE the Cb chain.
+        s = s + jnp.sum(rgb.astype(jnp.float32))
+        return (s % 2).astype(jnp.uint16), s
+
     print("timing color_merge ...", flush=True)
     stages["color_merge"] = {
-        "measured_s": _chain_bench_u16(merge_body, mid0, chain),
+        "measured_s": _chain_bench_u16(merge_body, planes0, chain),
         "flops": 10 * npix,
-        "bytes": 2 * npix + 3 * npix,  # u8 planes/tiles in, RGB u8 out
+        "bytes": 3 * npix + 3 * npix,  # u8 planes in, RGB u8 out
     }
 
     # -- whole inverse chain (what the device-decode bench times) ---------
-    def full_body(data, c, s):
-        r, ln = data
-        r = {k: v ^ c.astype(jnp.uint16) for k, v in r.items()}
+    def full_body(cb, c, s):
         rgb = jax.vmap(
-            lambda rr, ll: pipeline._inverse_impl(
-                rr, ll, bpc=bpc, bpr=bpr, height=size, width=size,
-                packed16=True,
+            lambda cc: pipeline._inverse_sparse_impl(
+                cc, bpc=bpc, bpr=bpr, height=size, width=size
             )
-        )(
-            {k: v.reshape(batch, -1, v.shape[-1]) for k, v in r.items()},
-            {k: v.reshape(batch, -1) for k, v in ln.items()},
-        )
+        )(cb ^ c.astype(jnp.uint16))
         s = s + jnp.sum(rgb.astype(jnp.float32))
         return (s % 2).astype(jnp.uint16), s
 
     print("timing full_inverse ...", flush=True)
     stages["full_inverse"] = {
-        "measured_s": _chain_bench_u16(full_body, (rle, lens), chain),
+        "measured_s": _chain_bench_u16(full_body, comb, chain),
         "flops": sum(
             stages[k]["flops"]
-            for k in ("rle_expand", "inverse_matmul", "color_merge")
+            for k in ("unbias_kt", "folded_einsum", "color_merge")
         ),
-        "bytes": sum(
-            stages[k]["bytes"]
-            for k in ("rle_expand", "inverse_matmul", "color_merge")
-        ),
+        "bytes": 4 * npix + 3 * npix,  # combined u16 in, RGB u8 out
     }
 
-    # Anti-DCE guard: the compiled full chain must still contain the
-    # Pallas expansion kernel (custom-call) or a sort — otherwise the
-    # fence stopped forcing the decode and the numbers are hollow.
+    # Anti-DCE guard: the decode is einsum-borne now (no Pallas anywhere)
+    # — the compiled chain must contain dots/convolution-class ops.
     f = _make_chained_u16(full_body, chain)
-    hlo = f.lower((rle, lens), jnp.uint16(0)).compile().as_text()
-    if jax.default_backend() == "tpu":
-        # Production decode is the Pallas expansion kernel (custom-call);
-        # its absence means the fence stopped forcing the expansion.
-        if hlo.count("custom-call") == 0:
-            raise RuntimeError(
-                "DCE guard: compiled inverse chain contains no expansion "
-                "kernel — the fence collapsed; numbers would be hollow."
-            )
-    elif hlo.count("dot(") + hlo.count(" dot(") == 0:
-        # CPU fallback decodes via the membership-einsum dots.
+    hlo = f.lower(comb, jnp.uint16(0)).compile().as_text()
+    if hlo.count("dot(") + hlo.count(" dot(") + hlo.count("fusion") == 0:
         raise RuntimeError(
-            "DCE guard: compiled inverse chain contains no einsum decode."
+            "DCE guard: compiled inverse chain contains no contraction — "
+            "the fence collapsed; numbers would be hollow."
         )
 
-    # -- fence floor: the xor-perturb + checksum traffic every stage body
-    # pays per iteration, with the xor output barriered so it materializes
-    # exactly as it does when feeding a kernel.  Stage numbers above
-    # INCLUDE this floor (the round-4 wide-kernel A/B showed it is ~3 ms
-    # at 1M-block shapes and once mis-attributed the expansion kernel's
-    # cost to its loads — results/pallas_ab.json::rle_decode_round4);
-    # subtract it to compare kernel formulations, keep it to compare
-    # against the reference's whole-process timings.
-    def floor_body(data, c, s):
-        r, _ln = data
-        for k, v in r.items():
-            (x,) = jax.lax.optimization_barrier((v ^ c.astype(jnp.uint16),))
-            s = s + jnp.sum(x.astype(jnp.float32))
+    # -- fence floor: xor-perturb + checksum traffic per iteration --------
+    def floor_body(cb, c, s):
+        (x,) = jax.lax.optimization_barrier((cb ^ c.astype(jnp.uint16),))
+        s = s + jnp.sum(x.astype(jnp.float32))
         return (s % 2).astype(jnp.uint16), s
 
     print("timing fence_floor ...", flush=True)
-    floor_s = _chain_bench_u16(floor_body, (rle, lens), chain)
+    floor_s = _chain_bench_u16(floor_body, comb, chain)
 
     print("timing hbm_stream ceiling ...", flush=True)
     hbm_probe = measure_hbm_stream_ceiling(
@@ -850,7 +636,7 @@ def run_jpeg_inverse_roofline(
             else "compute"
         )
 
-    device_stages = ("rle_expand", "inverse_matmul", "color_merge")
+    device_stages = ("unbias_kt", "folded_einsum", "color_merge")
     stage_sum = sum(stages[k]["measured_s"] for k in device_stages)
     limiter = max(device_stages, key=lambda k: stages[k]["measured_s"])
     result = {
@@ -858,7 +644,7 @@ def run_jpeg_inverse_roofline(
         "batch": batch,
         "chain": chain,
         "backend": jax.default_backend(),
-        "formulation": "plane" if plane_path else "tile",
+        "formulation": "sparse16_folded",
         "peaks": {
             "hbm_gbs": HBM_PEAK_GBS,
             "hbm_gbs_measured": hbm_measured_gbs,
@@ -869,19 +655,10 @@ def run_jpeg_inverse_roofline(
         "fence_floor": {
             "measured_s": floor_s,
             "note": (
-                "per-iteration xor-perturb + checksum of the packed "
-                "inputs (xor barriered so it materializes as a kernel "
-                "feed would); embedded in every stage's measured_s — "
-                "subtract for kernel-marginal comparisons"
+                "per-iteration xor-perturb + checksum of the combined "
+                "buffer (barriered); embedded in every stage's "
+                "measured_s — subtract for kernel-marginal comparisons"
             ),
-            # Clamped at 0: on a noisy run the measured floor can exceed
-            # the stage time; a negative marginal would misread as a
-            # measurement, not noise.
-            "rle_expand_marginal_s": max(
-                0.0, stages["rle_expand"]["measured_s"] - floor_s
-            ),
-            "floor_exceeded_stage": floor_s
-            >= stages["rle_expand"]["measured_s"],
         },
         "stages": stages,
         "stage_sum_s": stage_sum,

@@ -409,17 +409,21 @@ class JPEGPipeline:
                 tw = _CHANNEL_SHAPES[name][1]
                 k = 8 * tw
                 w16 = rle[name].astype(jnp.int32)
-                d = jnp.where(w16 != 0, w16 - SPARSE16_DELTA_BIAS, 0)
+                # i16 deltas (exact: |Δ| ≤ 1022): halves the transposed
+                # intermediate's bytes — 54.3 → 43.3 ms at 2048²×64,
+                # measured (profiles/probe_inverse_gap.py).
+                d = jnp.where(
+                    w16 != 0, w16 - SPARSE16_DELTA_BIAS, 0
+                ).astype(jnp.int16)
                 d_kt = jnp.transpose(d.reshape(bpc, bpr, k), (0, 2, 1))
                 plane = fused_inverse_plane_sparse_jnp(
                     d_kt, self._tables[name], tw, dtype,
                     upsample_cols=(name != "lum"),
                 )
-                # Materialization barrier: letting XLA fuse the inverse
-                # einsum into the color merge costs +32% end to end
-                # (measured; the einsum gets re-planned around its
-                # consumers' layouts).
-                (plane,) = jax.lax.optimization_barrier((plane,))
+                # No materialization barrier here: the packed16-era +32%
+                # fusion pessimization does not reproduce on the folded
+                # chain — the barrier itself now costs ~3 ms at 2048²×64
+                # (profiles/probe_inverse_gap.py).
                 planes[name] = plane
             return ycbcr_planes_to_rgb(
                 planes["lum"], planes["r"], planes["b"],

@@ -225,21 +225,119 @@ def resolve_blocks(lit, src, steps: int):
     return jnp.take_along_axis(lit, root, axis=1)
 
 
-def decode_fast_device(frame: bytes) -> bytes:
-    """Full LZ4T decode with device match resolution (single device)."""
+# MXU one-hot resolve parameters (round 5): r = CHUNK*hi + lo; one
+# transposed one-hot matmul per 128-output tile gathers each output's
+# 128-byte chunk row, a sublane-select extracts the byte.
+_MXU_CHUNK = 128
+_MXU_ROWS = 32  # 128-output rows per grid step
+
+
+def _mxu_resolve_kernel(root_ref, lit2t_ref, out_ref, *, c_chunks: int):
     import jax
+    import jax.numpy as jnp
+
+    r2 = root_ref[0]  # (R, 128) i32 — outputs dense on lanes
+    hi = r2 >> 7
+    lo = r2 & 127
+    sio = jax.lax.broadcasted_iota(jnp.int32, (c_chunks, 128), 0)
+    bio = jax.lax.broadcasted_iota(jnp.int32, (_MXU_CHUNK, 128), 0)
+    outs = []
+    for r in range(r2.shape[0]):
+        # One-hot over the chunk id, TRANSPOSED (chunks on sublanes) so
+        # the build is a sublane-iota compare against a broadcast row —
+        # the sublane-oriented variants paid 128x narrow-DMA padding
+        # (profiles/probe_lz4t_mxu_gather*.py).
+        ht = (sio == hi[r : r + 1, :]).astype(jnp.bfloat16)
+        rows_t = jax.lax.dot_general(
+            lit2t_ref[0], ht, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128 bytes-in-chunk, 128 outputs) — exact: one 1 per column
+        sel = bio == lo[r : r + 1, :]
+        outs.append(jnp.sum(
+            jnp.where(sel, rows_t.astype(jnp.int32), 0),
+            axis=0, keepdims=True,
+        ))
+    out_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("interpret",)
+)
+def resolve_blocks_mxu(lit, root, interpret: bool = False):
+    """(B, P) u8 literals + (B, P) FULLY-ROOTED source indices → bytes,
+    as a square-decomposed one-hot MXU gather (VERDICT r4 item 2's
+    formulation).  6× the pointer-doubling gathers (167 vs 28 MB/s on
+    the 4 MB corpus bench) and it supersedes the round-4 sort-join
+    bound — but the formulation's cost is invariant at 2·P² MACs per
+    P-byte block (every output tile's contraction must span the whole
+    block; distances are uniform across it — median root distance is
+    23 Ki of the 64 Ki block, so no band helps), which caps it at
+    ~170 MB/s on this chip: a measured negative against the charter's
+    GB/s decode bar, committed in results/lz4t_decode_device.json.
+    Requires P % (128·_MXU_ROWS) == 0; ``root`` must satisfy
+    root[i] == i at literal positions (depth_cap=1 programs).
+    Reference byte-serial loop this replaces: LZ4.c:937-982."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    b, p = lit.shape
+    c_chunks = p // _MXU_CHUNK
+    g = p // (128 * _MXU_ROWS)
+    root3 = root.reshape(b * g, _MXU_ROWS, 128)
+    lit2t = jnp.transpose(
+        lit.reshape(b, c_chunks, _MXU_CHUNK), (0, 2, 1)
+    ).astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_mxu_resolve_kernel, c_chunks=c_chunks),
+        grid=(b * g,),
+        in_specs=[
+            pl.BlockSpec((1, _MXU_ROWS, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _MXU_CHUNK, c_chunks),
+                         lambda i, g=g: (i // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _MXU_ROWS, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * g, _MXU_ROWS, 128), jnp.int32),
+        interpret=interpret,
+    )(root3, lit2t)
+    return out.reshape(b, p).astype(jnp.uint8)
+
+
+def decode_fast_device(frame: bytes) -> bytes:
+    """Full LZ4T decode with device match resolution (single device).
+
+    On TPU with MXU-compatible block sizes the resolve runs as the
+    one-hot matmul gather (``resolve_blocks_mxu``, host pre-roots all
+    chains for free during its parse walk); other shapes/backends keep
+    the pointer-doubling path."""
+    import jax
+    import jax.numpy as jnp
 
     from lz4jpeg_tpu.formats.fast_frame import verify_frame_checksum
 
-    lit, src, raw_sizes, p, max_depth = build_copy_program_fast(frame)
+    use_mxu = jax.default_backend() == "tpu"
+    lit, src, raw_sizes, p, max_depth = build_copy_program_fast(
+        frame, depth_cap=1 if use_mxu else DEVICE_DEPTH_CAP
+    )
     if lit.shape[0] == 0:
         return b""
-    steps = depth_to_steps(max_depth)
-    out = np.asarray(
-        jax.device_get(
-            resolve_blocks(jax.numpy.asarray(lit), jax.numpy.asarray(src), steps)
+    if use_mxu and p % (128 * _MXU_ROWS) == 0:
+        idx = np.arange(p, dtype=np.int32)[None, :]
+        root = np.where(src < 0, idx, src).astype(np.int32)
+        out = np.asarray(jax.device_get(
+            resolve_blocks_mxu(jnp.asarray(lit), jnp.asarray(root))
+        ))
+    else:
+        steps = depth_to_steps(max_depth)
+        out = np.asarray(
+            jax.device_get(
+                resolve_blocks(jnp.asarray(lit), jnp.asarray(src), steps)
+            )
         )
-    )
     decoded = _trim_rows(out, raw_sizes)
     verify_frame_checksum(frame, decoded)
     return decoded

@@ -107,3 +107,26 @@ class TestShardedDecode:
         mesh = codec_mesh(MeshConfig(num_devices=4))
         frame = encode_fast(metamorphosis)  # 64 KiB blocks
         assert sharded_fast_decode(frame, mesh) == metamorphosis
+
+
+class TestMXUResolve:
+    def test_matches_pointer_doubling(self, rng):
+        """The round-5 one-hot MXU resolve (interpret mode) is bit-exact
+        against take_along_axis on fully-rooted programs."""
+        import jax.numpy as jnp
+
+        from lz4jpeg_tpu.ops.lz4t_decode import resolve_blocks_mxu
+
+        frame = encode_fast(mixed_payload(rng))
+        lit, src, raw_sizes, p, _ = build_copy_program_fast(
+            frame, depth_cap=1
+        )
+        idx = np.arange(p, dtype=np.int32)[None, :]
+        root = np.where(src < 0, idx, src).astype(np.int32)
+        ref = np.take_along_axis(lit, root, axis=1)
+        got = np.asarray(
+            resolve_blocks_mxu(
+                jnp.asarray(lit), jnp.asarray(root), interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
