@@ -497,9 +497,91 @@ class JPEGPipeline:
             quality=self.config.quality,
         )
 
+    # Minimum blocks before the overlapped encode path engages (below
+    # this the banding/threading overhead beats the overlap win).
+    _OVERLAP_MIN_BLOCKS = 16384
+    _OVERLAP_BANDS = 4
+
+    def _encode_overlapped(self, rgb, h, w, bpc, bpr) -> JPEGEncoded:
+        """Encode with the tunnel d2h double-buffered against the host
+        entropy walk (VERDICT r4 item 6): the device forward is
+        dispatched async, the combined buffer comes down in row bands on
+        a worker thread, and the native histogram walk of band i runs
+        while band i+1 transfers (measured: transfers DO overlap compute
+        and host work on this tunnel, profiles/probe_tunnel_overlap.py).
+        The pack pass then re-walks the host-resident bands and the
+        per-band bitstreams concatenate at bit level — byte-identical
+        containers to the one-shot path (the multihost band machinery's
+        guarantee, asserted in tests/test_jpeg_pipeline.py)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from lz4jpeg_tpu.native import native_backend
+        from lz4jpeg_tpu.ops.huffman import concat_bitstreams
+        from lz4jpeg_tpu.ops.pallas_fwd import (
+            CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
+        )
+
+        native = native_backend()
+        out_dev = self._forward_rle(jnp.asarray(rgb))  # async dispatch
+        n = bpc * bpr
+        k = self._OVERLAP_BANDS
+        edges = [n * i // k for i in range(k + 1)]
+        combined = np.empty((n, COMBINED_LANES), np.uint16)
+        offset = 2048
+        slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+        hists = {c: np.zeros(2 * offset, np.int64) for c in CHANNELS}
+        lens = {c: [] for c in CHANNELS}
+        totals = {c: [] for c in CHANNELS}
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = [
+                ex.submit(jax.device_get, out_dev[a:b])
+                for a, b in zip(edges, edges[1:])
+            ]
+            for (a, b), fut in zip(zip(edges, edges[1:]), futs):
+                combined[a:b] = fut.result()
+                for c in CHANNELS:
+                    row_len = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
+                    counts, lens_c, total = native.rle_symbol_hist_sparse16(
+                        combined[a:b], slices[c].start, row_len,
+                        offset, 2 * offset,
+                    )
+                    hists[c] += counts
+                    lens[c].append(lens_c)
+                    totals[c].append(total)
+        enc = self._wrap_sparse(combined, h, w, bpc, bpr)
+        enc.entropy_mode = "shared"
+        enc.shared_streams = {}
+        enc.rle_lengths = {}
+        for c in CHANNELS:
+            row_len = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
+            (bins,) = np.nonzero(hists[c])
+            codebook = build_canonical_codebook_from_counts(
+                bins.astype(np.int64) - offset, hists[c][bins]
+            )
+            pieces = []
+            for (a, b), total in zip(zip(edges, edges[1:]), totals[c]):
+                packed, nbits = native.huff_pack_sparse16(
+                    combined[a:b], slices[c].start, row_len, codebook, total
+                )
+                pieces.append((packed, nbits))
+            merged, total_bits = concat_bitstreams(pieces)
+            enc.shared_streams[c] = (codebook, merged, total_bits)
+            enc.rle_lengths[c] = np.concatenate(lens[c])
+        return enc
+
     def encode(self, rgb: np.ndarray, entropy: Optional[bool] = True) -> JPEGEncoded:
         h, w = rgb.shape[:2]
         bpc, bpr = -(-h // 8), -(-w // 8)
+        if (
+            self._sparse16
+            and entropy
+            and self.config.entropy == "shared"
+            and bpc * bpr >= self._OVERLAP_MIN_BLOCKS
+        ):
+            from lz4jpeg_tpu.native import native_available
+
+            if native_available():
+                return self._encode_overlapped(rgb, h, w, bpc, bpr)
         slim = jax.device_get(self._forward_rle(jnp.asarray(rgb)))
         if self._sparse16:
             enc = self._wrap_sparse(slim, h, w, bpc, bpr)
