@@ -59,7 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[1, 2, 4],
         default=1,
         help="fused-matcher anchor stride: 2/4 trade measured compression "
-        "ratio for 1.6x/2.4x device match throughput",
+        "ratio for 1.8x/4x device match throughput",
+    )
+    enc.add_argument(
+        "--lcp-words",
+        type=int,
+        choices=[1, 2, 4],
+        default=4,
+        help="carried suffix words for lcp verification: 4 (default) is "
+        "the best committed device ratio, 2 trades 1.1%% ratio for +34%% "
+        "throughput (results/lz4_device.json)",
     )
     dec = lz4_sub.add_parser("decode")
     dec.add_argument("input")
@@ -148,6 +157,7 @@ def _cmd_lz4(args) -> int:
                 log_path=args.log,
                 matcher=args.matcher,
                 match_stride=args.stride,
+                match_lcp_words=args.lcp_words,
             )
         )
         out = codec.encode(data, engine=args.engine)

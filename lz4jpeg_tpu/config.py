@@ -36,13 +36,17 @@ class LZ4Config:
     # Device match finder for fast mode: "fused" is the single-kernel
     # Pallas sort→candidates→replay matcher (ops/pallas_match.py, TPU
     # only — other backends silently use "sort"); "sort" is the
-    # two-``lax.sort`` formulation (ops/lz4_fast.py), portable and the
-    # best compression of the two (lcp_words=4 carry).
+    # two-``lax.sort`` formulation (ops/lz4_fast.py), portable.
     matcher: str = "fused"
     # Anchor stride for the fused matcher: matches may start only every
     # N-th byte (LZ4's "acceleration" idea).  1 = full quality; 2/4 trade
     # measured ratio for large throughput gains (results/lz4_device.json).
     match_stride: int = 1
+    # Suffix words carried through the matcher's lcp verification.  The
+    # round-5 default 4 gives the best committed device ratio (75,467 B
+    # on Metamorphosis — beats the host C++ encoder) at 388 MB/s fused;
+    # 2 is the speed knob (+34% throughput, lcp2-grade ratio 76,305 B).
+    match_lcp_words: int = 4
 
     def __post_init__(self):
         # The reference rejects this exact value (LZ4.c:672-677, :1040-1045).
@@ -55,6 +59,10 @@ class LZ4Config:
         if self.match_stride not in (1, 2, 4):
             raise ValueError(
                 f"match_stride must be 1, 2 or 4: {self.match_stride}"
+            )
+        if self.match_lcp_words not in (1, 2, 4):
+            raise ValueError(
+                f"match_lcp_words must be 1, 2 or 4: {self.match_lcp_words}"
             )
 
 

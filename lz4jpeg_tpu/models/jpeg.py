@@ -3,10 +3,15 @@
 Where the reference runs one Win32 thread per 8×8 MCU through a scalar
 DCT→quant→zigzag→RLE→Huffman chain (``process``,
 ``Algorithms/parallel/JPEG/JPEG.c:1103-1252``), this pipeline batches *all*
-MCUs of an image into (N, 8, 8) tiles and runs the whole forward chain as a
-handful of fused XLA ops: one einsum pair on the MXU for the DCT, VPU
-elementwise for quantization, a constant-permutation gather for zigzag, and
-prefix-sum compaction for the RLE — then a host/TPU entropy stage.
+MCUs of an image and — on TPU since round 5 — runs the whole forward
+chain as ONE Pallas megakernel over the kt block layout (color + fused
+DCT basis matmul + sparse-delta RLE, ``ops/pallas_fwd.py``), shipping a
+single (N, 128) uint16 combined stream; other backends run the
+bit-identical XLA tile chain.  Decode folds the RLE expansion into the
+inverse DCT einsum (``ops/fused.py::inverse_suffix_basis``) — no
+expansion stage exists.  The staged einsum/quant/zigzag/pair-RLE ops
+remain as the exact-mode and compat paths, with a host/TPU entropy
+stage either way.
 
 Everything up to (and including) RLE is jit-compiled; the Huffman stage has
 two modes (see ``ops/huffman.py``):

@@ -42,7 +42,9 @@ from lz4jpeg_tpu.ops.match import greedy_parse, match_tables, pad_blocks
 
 
 @functools.lru_cache(maxsize=None)
-def _device_fast_encode(matcher: str = "sort", stride: int = 1):
+def _device_fast_encode(
+    matcher: str = "sort", stride: int = 1, lcp_words: int = 4
+):
     """Jitted matcher+compactor, cached at module scope so repeated
     ``encode(engine="tpu")`` calls reuse the compilation (jit caches by
     shape under one callable; a per-call ``@jax.jit`` retraces every time,
@@ -50,7 +52,9 @@ def _device_fast_encode(matcher: str = "sort", stride: int = 1):
 
     ``matcher="fused"`` routes through the single-kernel Pallas matcher
     (ops/pallas_match.py) on TPU backends; other backends and
-    ``matcher="sort"`` use the portable two-``lax.sort`` formulation."""
+    ``matcher="sort"`` use the portable two-``lax.sort`` formulation.
+    ``lcp_words=4`` (the default) carries the full-quality suffix — the
+    best committed device ratio; 2 is the measured speed knob."""
     from lz4jpeg_tpu.ops.lz4_fast import compact_parse, fast_match_blocks
 
     if matcher == "fused" and jax.default_backend() == "tpu":
@@ -58,10 +62,16 @@ def _device_fast_encode(matcher: str = "sort", stride: int = 1):
 
         return jax.jit(
             lambda b, l: compact_parse(
-                *fast_match_blocks_pallas(b, l, stride=stride)
+                *fast_match_blocks_pallas(
+                    b, l, stride=stride, lcp_words=lcp_words
+                )
             )
         )
-    return jax.jit(lambda b, l: compact_parse(*fast_match_blocks(b, l)))
+    return jax.jit(
+        lambda b, l: compact_parse(
+            *fast_match_blocks(b, l, lcp_words=lcp_words)
+        )
+    )
 
 
 class LZ4Codec:
@@ -153,7 +163,8 @@ class LZ4Codec:
 
         data_u8 = padded.astype(np.uint8)
         pos_sorted, packed, counts = _device_fast_encode(
-            self.config.matcher, self.config.match_stride
+            self.config.matcher, self.config.match_stride,
+            self.config.match_lcp_words,
         )(
             jnp.asarray(data_u8), jnp.asarray(lengths)
         )

@@ -1,4 +1,14 @@
-"""Pallas TPU kernel for the batched RLE compaction — the shipped fast path.
+"""Pallas TPU kernels for the batched PAIR-layout RLE compaction.
+
+**Superseded in round 5**: the production interchange moved to the
+sparse-delta layout (``ops/rle.py::rle_encode_sparse16``), which needs
+no compaction on encode and folds its decode into the inverse einsum —
+these butterflies no longer run in the fast path.  They remain the
+tested packed16 kernels (bit-identical to the XLA spec, interpret-mode
+and on-chip tests) and the committed record of the round-3/4
+formulation work the sparse16 design built on (the rank-prefix and
+delta-prefix MXU matmuls reappear there as the suffix-basis fold).
+Original round-3/4 docstring follows.
 
 History (the committed measurement trail): the RLE compaction is the JPEG
 forward chain's limiting stage.  The production XLA formulation is one

@@ -23,14 +23,19 @@ optimization barriers): per-row gathers/scatters serialize (~60-200×
 slower), the rank-onehot einsum is a batched matvec the MXU hates
 (4.7× slower), the 6-stage log-shift network is bit-identical but
 materializes between stages (1.5× slower), 16-bit sort operands don't
-speed TPU sorts, and the sort-diff below wins — ``lax.sort`` runs its
-whole bitonic network fused in VMEM, which none of the hand-built
-alternatives get from XLA.  It is the forward chain's limiting stage
-(roofline artifact) and has earned its cost.
+speed TPU sorts, and the sort-diff below wins among PAIR-layout
+formulations — ``lax.sort`` runs its whole bitonic network fused in
+VMEM, which none of the hand-built alternatives get from XLA.
 
-Decode inverts it with a ``searchsorted`` over the cumulative counts —
-a vectorized gather instead of the reference's nested fill loops
-(JPEG.c:811-842), including its cap-at-capacity and zero-pad semantics.
+**Round 5 ended the contest by changing the representation**: the
+production interchange is now the SPARSE-DELTA layout
+(``rle_encode_sparse16`` below) which needs no compaction at all — the
+sort, and the round-3/4 Pallas butterflies that beat it, both left the
+fast path (they remain the tested packed16 spec).  Decode of the pair
+layouts inverts with a disjoint-interval membership einsum —
+vectorized, unlike the reference's nested fill loops (JPEG.c:811-842) —
+while sparse16 decode is a prefix sum that folds into the inverse DCT
+einsum entirely (``ops/fused.py::inverse_suffix_basis``).
 """
 
 from __future__ import annotations
