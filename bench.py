@@ -43,7 +43,10 @@ def main() -> None:
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
     size = 2048
-    batch = 128  # frames per dispatch: amortizes the host→device round trip
+    # Frames per dispatch: amortizes the host→device round trip.  The
+    # round-5 megakernel chain is lean enough that 256-frame (3.2 GB
+    # RGB) dispatches fit and measure ~7% over b128.
+    batch = 256
     chain = 4  # dispatches per timed run: amortizes the ~24 ms tunnel RTT
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
