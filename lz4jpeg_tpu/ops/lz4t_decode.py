@@ -266,14 +266,15 @@ def _mxu_resolve_kernel(root_ref, lit2t_ref, out_ref, *, c_chunks: int):
 def resolve_blocks_mxu(lit, root, interpret: bool = False):
     """(B, P) u8 literals + (B, P) FULLY-ROOTED source indices → bytes,
     as a square-decomposed one-hot MXU gather (VERDICT r4 item 2's
-    formulation).  6× the pointer-doubling gathers (167 vs 28 MB/s on
-    the 4 MB corpus bench) and it supersedes the round-4 sort-join
-    bound — but the formulation's cost is invariant at 2·P² MACs per
-    P-byte block (every output tile's contraction must span the whole
-    block; distances are uniform across it — median root distance is
-    23 Ki of the 64 Ki block, so no band helps), which caps it at
-    ~170 MB/s on this chip: a measured negative against the charter's
-    GB/s decode bar, committed in results/lz4t_decode_device.json.
+    formulation), superseding the round-4 sort-join bound.  Cost is
+    invariant at 2·P² MACs per P-byte block (every output tile's
+    contraction must span the whole block; median root distance is
+    23 Ki of the 64 Ki block, so no band helps) — that invariant IS the
+    asymptote, and at serving batches the kernel reaches it:
+    **1.04 GB/s at 128 MB** (881 MB/s at 64 MB; small batches are
+    dispatch-starved — 457/152/40 MB/s at 16/4/1 MB), 37× the
+    pointer-doubling gathers and the charter's GB/s decode bar met
+    on-device (results/lz4t_decode_device.json::mxu_resolve_round5).
     Requires P % (128·_MXU_ROWS) == 0; ``root`` must satisfy
     root[i] == i at literal positions (depth_cap=1 programs).
     Reference byte-serial loop this replaces: LZ4.c:937-982."""
