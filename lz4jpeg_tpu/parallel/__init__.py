@@ -18,5 +18,8 @@ gather (``Algorithms/parallel/LZ4/LZ4.c:495-514, :742``;
 """
 
 from lz4jpeg_tpu.parallel.mesh import codec_mesh, pad_to_devices  # noqa: F401
-from lz4jpeg_tpu.parallel.jpeg import ShardedJPEGForward  # noqa: F401
+from lz4jpeg_tpu.parallel.jpeg import (  # noqa: F401
+    ShardedJPEGForward,
+    ShardedSparseJPEG,
+)
 from lz4jpeg_tpu.parallel.lz4 import sharded_block_parse  # noqa: F401

@@ -165,6 +165,116 @@ class ShardedJPEGForward:
         return jax.device_get(stages), n
 
 
+class ShardedSparseJPEG:
+    """Round-5 production multi-chip JPEG: the sparse16 forward (the
+    megakernel chain on TPU shards) and the folded inverse, band-sharded
+    over the mesh with ``shard_map``.
+
+    Every forward and inverse op is row-local at 8-pixel-band
+    granularity (color, 4:2:2, the kt transpose, the per-block basis
+    matmuls, the plane merges), so a contiguous band of block-rows per
+    device needs NO cross-device communication until the output
+    sharding itself — the collective equivalent of the reference's
+    thread-per-MCU fan-out (JPEG.c:1297-1304) with the gather done by
+    layout.  Outputs are bit-identical to the single-device pipeline
+    (asserted in tests/test_parallel.py and the driver dryrun)."""
+
+    def __init__(self, mesh: Mesh, config: Optional[JPEGConfig] = None):
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+
+        self.mesh = mesh
+        self.config = config or JPEGConfig(
+            precision="fast", entropy="shared"
+        )
+        self.pipeline = JPEGPipeline(self.config)
+        if not self.pipeline._sparse16:
+            raise ValueError(
+                "ShardedSparseJPEG requires a sparse16-eligible config "
+                "(precision='fast', entropy='shared', moderate quality)"
+            )
+        self._axis = mesh.axis_names[0]
+        self._fwd = None
+        self._inv = {}
+
+    def _band_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(self._axis), P(self._axis)
+
+    def forward(self, rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 → (N, 128) uint16 combined sparse streams,
+        computed band-parallel over the mesh (block-rows padded to a
+        mesh multiple with zero rows, sliced off after)."""
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        h, w = rgb.shape[:2]
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        n_dev = self.mesh.devices.size
+        bpc_pad = -(-bpc // n_dev) * n_dev
+        img = np.zeros((8 * bpc_pad, 8 * bpr, 3), np.uint8)
+        img[:h, :w] = rgb
+
+        if self._fwd is None:
+            impl = self.pipeline._forward_rle_impl
+
+            @jax.jit
+            def fwd(x):
+                # check_vma=False: the megakernel's pallas_call out_shape
+                # carries no varying-mesh-axes annotation; the shard is
+                # purely data-parallel (no collectives), so the check
+                # adds nothing here.
+                return shard_map(
+                    impl, mesh=self.mesh,
+                    in_specs=P(self._axis),
+                    out_specs=P(self._axis),
+                    check_vma=False,
+                )(x)
+
+            self._fwd = fwd
+        combined = jax.device_get(self._fwd(jnp.asarray(img)))
+        return np.asarray(combined)[: bpc * bpr]
+
+    def inverse(
+        self, combined: np.ndarray, bpc: int, bpr: int,
+        height: int, width: int,
+    ) -> np.ndarray:
+        """(N, 128) combined sparse streams → (height, width, 3) uint8,
+        the folded-einsum decode band-parallel over the mesh."""
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+        bpc_pad = -(-bpc // n_dev) * n_dev
+        comb = np.zeros((bpc_pad * bpr, combined.shape[1]), np.uint16)
+        comb[: bpc * bpr] = combined
+        band_bpc = bpc_pad // n_dev
+        key = (band_bpc, bpr)
+        if key not in self._inv:
+            impl = self.pipeline._inverse_sparse_impl
+
+            def band(x):
+                return impl(
+                    x, bpc=band_bpc, bpr=bpr,
+                    height=8 * band_bpc, width=8 * bpr,
+                )
+
+            @jax.jit
+            def inv(x):
+                return shard_map(
+                    band, mesh=self.mesh,
+                    in_specs=P(self._axis),
+                    out_specs=P(self._axis),
+                    check_vma=False,
+                )(x)
+
+            self._inv[key] = inv
+        rgb = jax.device_get(self._inv[key](jnp.asarray(comb)))
+        return np.asarray(rgb)[:height, :width]
+
+
 def multihost_jpeg_encode(rgb: np.ndarray, config: JPEGConfig = None) -> bytes:
     """Cross-host JPEG encode → TJPG container bytes, identical on every
     process and byte-equal to a single-process encode.

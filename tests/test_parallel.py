@@ -227,3 +227,41 @@ class TestShardedQuality:
         stages, n = ShardedJPEGForward(mesh, cfg)(img)
         ref = JPEGPipeline(cfg).forward_stages(img)
         np.testing.assert_array_equal(stages["lum"]["zz"][:n], ref["lum"]["zz"])
+
+
+class TestShardedSparseJPEG:
+    """Round-5 production multi-chip paths: band-sharded sparse16
+    forward + folded inverse must be BIT-identical to the single-device
+    pipeline (bands are row-local at 8-px granularity)."""
+
+    @pytest.mark.parametrize("shape", [(64, 64), (40, 24), (96, 160)])
+    def test_forward_matches_unsharded(self, rng, mesh, shape):
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+        from lz4jpeg_tpu.parallel.jpeg import ShardedSparseJPEG
+
+        h, w = shape
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sharded = ShardedSparseJPEG(mesh)
+        got = sharded.forward(img)
+        ref = JPEGPipeline(sharded.config).encode(img, entropy=False)
+        np.testing.assert_array_equal(got, ref.rle_combined)
+
+    def test_roundtrip_matches_unsharded(self, rng, mesh):
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+        from lz4jpeg_tpu.parallel.jpeg import ShardedSparseJPEG
+
+        h, w = 72, 88
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sharded = ShardedSparseJPEG(mesh)
+        comb = sharded.forward(img)
+        bpc, bpr = -(-h // 8), -(-w // 8)
+        got = sharded.inverse(comb, bpc, bpr, h, w)
+        pipe = JPEGPipeline(sharded.config)
+        ref = pipe.decode(pipe.encode(img, entropy=False), from_entropy=False)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_rejects_non_sparse_config(self, mesh):
+        from lz4jpeg_tpu.parallel.jpeg import ShardedSparseJPEG
+
+        with pytest.raises(ValueError):
+            ShardedSparseJPEG(mesh, JPEGConfig(precision="exact"))
