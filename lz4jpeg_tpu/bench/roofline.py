@@ -473,7 +473,7 @@ def run_jpeg_inverse_roofline(
     )
     from lz4jpeg_tpu.ops.color import ycbcr_planes_to_rgb
     from lz4jpeg_tpu.ops.fused import fused_inverse_plane_sparse_jnp
-    from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
+    from lz4jpeg_tpu.ops.pallas_fwd import CHANNEL_SLICES
     from lz4jpeg_tpu.ops.rle import SPARSE16_DELTA_BIAS
     from lz4jpeg_tpu.utils.inputs import generate_noise_image
 
@@ -487,7 +487,7 @@ def run_jpeg_inverse_roofline(
     comb = jnp.tile(slim[None], (batch, 1, 1))  # (B, N, 128) u16
     bpc = bpr = size // 8
     npix = batch * size * size
-    slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+    slices = CHANNEL_SLICES
 
     stages: Dict[str, Dict] = {}
 

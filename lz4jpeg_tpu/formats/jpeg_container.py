@@ -138,10 +138,10 @@ def unpack_container(data: bytes) -> "JPEGEncoded":
     combined = None
     if sparse16:
         from lz4jpeg_tpu.ops.pallas_fwd import (
-            CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
+            CHANNEL_SLICES, COMBINED_LANES,
         )
 
-        slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+        slices = CHANNEL_SLICES
         combined = np.zeros((num_blocks, COMBINED_LANES), np.uint16)
         for c in ("lum", "r", "b"):
             codebook, packed, nbits = shared[c]

@@ -451,13 +451,9 @@ class JPEGPipeline:
     ) -> jnp.ndarray:
         """(N, 128) combined sparse buffer → RGB (channel slicing on
         device, then the folded-einsum inverse of ``_inverse_impl``)."""
-        from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
+        from lz4jpeg_tpu.ops.pallas_fwd import CHANNEL_SLICES
 
-        rle = {
-            "lum": combined[:, LUM_SLICE],
-            "r": combined[:, CR_SLICE],
-            "b": combined[:, CB_SLICE],
-        }
+        rle = {c: combined[:, CHANNEL_SLICES[c]] for c in CHANNELS}
         dummy = {c: jnp.zeros(combined.shape[0], jnp.int32) for c in CHANNELS}
         return self._inverse_impl(
             rle, dummy, bpc=bpc, bpr=bpr, height=height, width=width,
@@ -483,7 +479,7 @@ class JPEGPipeline:
     ) -> JPEGEncoded:
         """(N, 128) combined sparse buffer → JPEGEncoded with per-channel
         views (no copies; lengths stay lazy until the entropy walk)."""
-        from lz4jpeg_tpu.ops.pallas_fwd import CB_SLICE, CR_SLICE, LUM_SLICE
+        from lz4jpeg_tpu.ops.pallas_fwd import CHANNEL_SLICES
 
         combined = np.asarray(combined)
         return JPEGEncoded(
@@ -491,11 +487,7 @@ class JPEGPipeline:
             width=w,
             blocks_per_col=bpc,
             blocks_per_row=bpr,
-            rle={
-                "lum": combined[:, LUM_SLICE],
-                "r": combined[:, CR_SLICE],
-                "b": combined[:, CB_SLICE],
-            },
+            rle={c: combined[:, CHANNEL_SLICES[c]] for c in CHANNELS},
             rle_lengths=None,
             rle_sparse16=True,
             rle_combined=combined,
@@ -522,9 +514,7 @@ class JPEGPipeline:
 
         from lz4jpeg_tpu.native import native_backend
         from lz4jpeg_tpu.ops.huffman import concat_bitstreams
-        from lz4jpeg_tpu.ops.pallas_fwd import (
-            CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
-        )
+        from lz4jpeg_tpu.ops.pallas_fwd import CHANNEL_SLICES, COMBINED_LANES
 
         native = native_backend()
         out_dev = self._forward_rle(jnp.asarray(rgb))  # async dispatch
@@ -533,7 +523,7 @@ class JPEGPipeline:
         edges = [n * i // k for i in range(k + 1)]
         combined = np.empty((n, COMBINED_LANES), np.uint16)
         offset = 2048
-        slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+        slices = CHANNEL_SLICES
         hists = {c: np.zeros(2 * offset, np.int64) for c in CHANNELS}
         lens = {c: [] for c in CHANNELS}
         totals = {c: [] for c in CHANNELS}
@@ -658,16 +648,13 @@ class JPEGPipeline:
                 build_canonical_codebook,
                 pack_symbols,
             )
-            from lz4jpeg_tpu.ops.pallas_fwd import (
-                CB_SLICE, CR_SLICE, LUM_SLICE,
-            )
+            from lz4jpeg_tpu.ops.pallas_fwd import CHANNEL_SLICES
 
             native = native_backend() if native_available() else None
             enc.shared_streams = {}
             lengths = {}
             comb = enc.rle_combined
-            cols = {"lum": LUM_SLICE.start, "r": CR_SLICE.start,
-                    "b": CB_SLICE.start}
+            cols = {c: sl.start for c, sl in CHANNEL_SLICES.items()}
             offset = 2048
             for c in CHANNELS:
                 row_len = _CHANNEL_SHAPES[c][0] * _CHANNEL_SHAPES[c][1]
@@ -779,14 +766,14 @@ class JPEGPipeline:
             from lz4jpeg_tpu.native import native_available, native_backend
             from lz4jpeg_tpu.ops.huffman import unpack_symbols
             from lz4jpeg_tpu.ops.pallas_fwd import (
-                CB_SLICE, COMBINED_LANES, CR_SLICE, LUM_SLICE,
+                CHANNEL_SLICES, COMBINED_LANES,
             )
 
             native = native_backend() if native_available() else None
             combined = np.zeros(
                 (enc.num_blocks, COMBINED_LANES), np.uint16
             )
-            slices = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
+            slices = CHANNEL_SLICES
             lengths = {}
             for c in CHANNELS:
                 codebook, packed, nbits = enc.shared_streams[c]

@@ -1204,8 +1204,11 @@ int64_t huff_pack_sparse16(const uint16_t* sparse, size_t n_rows,
       }
       return true;
     });
-    if (bad || runs < 0) return kErrBadInput;
+    // full must be checked first: an output-full abort also makes the
+    // walker return negative, and misreporting it as bad-input would
+    // misdirect debugging toward stream corruption.
     if (full) return kErrOutputFull;
+    if (bad || runs < 0) return kErrBadInput;
   }
   if (acc_bits > 0) {
     if (w >= out_cap) return kErrOutputFull;

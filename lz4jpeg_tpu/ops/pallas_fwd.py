@@ -46,6 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lz4jpeg_tpu.ops.color import _snap_trunc as _snap_trunc  # shared helper
 from lz4jpeg_tpu.ops.fused import forward_basis, _table_key
 from lz4jpeg_tpu.ops.rle import SPARSE16_DELTA_BIAS
 
@@ -56,6 +57,9 @@ COMBINED_LANES = 128
 LUM_SLICE = slice(0, 64)
 CR_SLICE = slice(64, 96)
 CB_SLICE = slice(96, 128)
+# The one channel→lane-range mapping every consumer shares (models,
+# container, roofline) — re-declaring it per call site invites drift.
+CHANNEL_SLICES = {"lum": LUM_SLICE, "r": CR_SLICE, "b": CB_SLICE}
 
 
 @functools.lru_cache(maxsize=None)
@@ -97,11 +101,6 @@ def rgb_to_kt(rgb: jnp.ndarray) -> jnp.ndarray:
     # axes: [batch...], bh, 8, bw, 8, 3 → 3, 8(row), 8(col), [batch...], bh, bw
     perm = (nb + 4, nb + 1, nb + 3, *range(nb), nb, nb + 2)
     return x.transpose(*perm).reshape(3, 64, -1)
-
-
-def _snap_trunc(x, eps):
-    nearest = jnp.round(x)
-    return jnp.trunc(jnp.where(jnp.abs(x - nearest) <= eps, nearest, x))
 
 
 def _fwd_kernel(x_ref, my_ref, mc_ref, off_ref, out_ref):

@@ -92,13 +92,16 @@ class ShardedJPEGForward:
         n_dev = self.mesh.devices.size
         n_mcus = bpc * bpr
         if layout is None:
-            # uint16 without an explicit layout means the legacy packed
-            # pair layout; sparse16 callers pass layout="sparse16".
-            layout = (
-                "packed16"
-                if np.asarray(rle["lum"]).dtype == np.uint16
-                else "pairs"
-            )
+            if np.asarray(rle["lum"]).dtype == np.uint16:
+                # uint16 is AMBIGUOUS since round 5 (packed16 pairs vs
+                # sparse16 deltas carry the same dtype); decoding sparse
+                # words as pairs would silently corrupt the image, so
+                # demand an explicit layout instead of guessing.
+                raise ValueError(
+                    "uint16 RLE streams are ambiguous: pass "
+                    'layout="packed16" or layout="sparse16"'
+                )
+            layout = "pairs"
 
         def stage(rle_j, len_j):
             rec = {}
@@ -196,21 +199,27 @@ class ShardedSparseJPEG:
         self._fwd = None
         self._inv = {}
 
-    def _band_specs(self):
-        from jax.sharding import PartitionSpec as P
-
-        return P(self._axis), P(self._axis)
-
     def forward(self, rgb: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 → (N, 128) uint16 combined sparse streams,
         computed band-parallel over the mesh (block-rows padded to a
-        mesh multiple with zero rows, sliced off after)."""
+        mesh multiple with zero rows, sliced off after).
+
+        Requires H % 8 == 0 and W % 8 == 0; ragged shapes delegate to
+        the single-device pipeline.  Zero-padding raggedness at the RGB
+        level would run the color transform over the padding (padded
+        chroma becomes 128, not the plane-domain zeros ``split_mcus``
+        pads with) and silently break the bit-identity guarantee —
+        whole padded block-ROWS are safe (forward ops are block-local
+        and the fake blocks are sliced off), partial blocks are not."""
         import jax.numpy as jnp
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         h, w = rgb.shape[:2]
         bpc, bpr = -(-h // 8), -(-w // 8)
+        if h % 8 or w % 8:
+            enc = self.pipeline.encode(np.asarray(rgb), entropy=False)
+            return np.asarray(enc.rle_combined)
         n_dev = self.mesh.devices.size
         bpc_pad = -(-bpc // n_dev) * n_dev
         img = np.zeros((8 * bpc_pad, 8 * bpr, 3), np.uint8)

@@ -39,6 +39,10 @@ def main():
         np.stack([generate_noise_image(size, size, rng) for _ in range(batch)])
     )
     pipeline = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+    # Round 5: the production interchange is the sparse16 combined
+    # array; this script reproduces the HISTORICAL pair-path fence
+    # lesson, so pin the pre-round-5 layout explicitly.
+    pipeline._sparse16 = pipeline._megakernel = False
     fwd = jax.vmap(pipeline._forward_rle_impl)
 
     def bench(fence, label):

@@ -19,6 +19,10 @@ size = 2048
 rng = np.random.default_rng(0)
 base = np.stack([generate_noise_image(size, size, rng) for _ in range(128)])
 p = JPEGPipeline(JPEGConfig(precision="fast", entropy="shared"))
+# Round 5: the production interchange is the sparse16 combined array; this
+# script reproduces the HISTORICAL pair-path shape sweep, so pin the
+# pre-round-5 layout explicitly.
+p._sparse16 = p._megakernel = False
 
 
 def run(batch, chain, reps=3):

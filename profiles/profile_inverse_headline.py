@@ -30,7 +30,8 @@ bpc = bpr = SIZE // 8
 def inverse_fenced(rle, lens, carry):
     rgb = jax.vmap(
         lambda r, l: p._inverse_impl(
-            r, l, bpc=bpc, bpr=bpr, height=SIZE, width=SIZE, packed16=True
+            r, l, bpc=bpc, bpr=bpr, height=SIZE, width=SIZE,
+            layout="packed16"
         )
     )(rle, lens)
     return carry + jnp.sum(rgb[..., ::13, 0].astype(jnp.float32))

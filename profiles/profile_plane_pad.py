@@ -1,4 +1,7 @@
-"""Pad-widened plane paths A/B (VERDICT r4 item 6).
+"""ROUND-5 NOTE: this measured the retired packed16 plane-pad gates;
+kept runnable against the spec ops as the committed decision record.
+
+Pad-widened plane paths A/B (VERDICT r4 item 6).
 
 Forward: zero block-columns pad bw to the kt kernel's 128-lane tile and
 are sliced out after RLE — measured against the tile fallback at 512²,
@@ -62,7 +65,8 @@ def main():
                 zz = forward_channel(
                     tiles, name, pipe._tables, jnp.float32, True
                 )
-                out[name] = pipe._rle_pack16_fn(zz.astype(jnp.int16))
+                from lz4jpeg_tpu.ops.rle import rle_encode_packed16
+                out[name] = rle_encode_packed16(zz.astype(jnp.int16))
             return out
 
         ref = jax.block_until_ready(jax.jit(tile_fwd)(imgj))
@@ -106,7 +110,7 @@ def main():
 
         inv_plane = jax.jit(
             lambda r, l: pipe._inverse_impl(
-                r, l, bpc=bpc, bpr=bpr, height=h, width=w, packed16=True
+                r, l, bpc=bpc, bpr=bpr, height=h, width=w, layout="packed16"
             )
         )
 
@@ -120,7 +124,7 @@ def main():
             rec = {}
             for name in CHANNELS:
                 th, tw = _CHANNEL_SHAPES[name]
-                zz = pipe._rle_decode_fn(r[name], l[name], th * tw, True)
+                zz = pipe._rle_decode_fn(r[name], l[name], th * tw, "packed16")
                 rec[name] = inverse_channel(
                     zz, name, pipe._tables, jnp.float32, True
                 )
@@ -144,7 +148,7 @@ def main():
 
         t_iplane = fence(
             lambda r, l: pipe._inverse_impl(
-                r, l, bpc=bpc, bpr=bpr, height=h, width=w, packed16=True
+                r, l, bpc=bpc, bpr=bpr, height=h, width=w, layout="packed16"
             ),
             rle, lens,
         )

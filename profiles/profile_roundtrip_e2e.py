@@ -52,7 +52,8 @@ def dev_inverse():
         {c: jnp.asarray(lengths[c]) for c in CHANNELS},
         bpc=enc.blocks_per_col, bpr=enc.blocks_per_row,
         height=enc.height, width=enc.width,
-        packed16=enc.rle_packed16,
+        layout="sparse16" if enc.rle_sparse16 else (
+                "packed16" if enc.rle_packed16 else "pairs"),
     )
     return jax.block_until_ready(rgb)
 

@@ -265,3 +265,17 @@ class TestShardedSparseJPEG:
 
         with pytest.raises(ValueError):
             ShardedSparseJPEG(mesh, JPEGConfig(precision="exact"))
+
+    def test_ragged_shapes_delegate_and_match(self, rng, mesh):
+        """Non-8-multiple shapes must NOT go through the band shard (RGB
+        zero-padding would run the color transform over padding, which
+        differs from the plane-domain padding the pipeline uses — the
+        round-5 review's 16x20 counterexample)."""
+        from lz4jpeg_tpu.models.jpeg import JPEGPipeline
+        from lz4jpeg_tpu.parallel.jpeg import ShardedSparseJPEG
+
+        img = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+        sharded = ShardedSparseJPEG(mesh)
+        got = sharded.forward(img)
+        ref = JPEGPipeline(sharded.config).encode(img, entropy=False)
+        np.testing.assert_array_equal(got, ref.rle_combined)
